@@ -1,0 +1,36 @@
+"""isac_tpu — TPU-native system-level 5G NR Integrated Sensing and Communication simulator.
+
+A brand-new JAX/XLA/Pallas framework with the capability surface of the MATLAB
+reference `xds0112/5G_based_System_level_Integrated_Sensing_and_Communication_Simulator`
+(surveyed in SURVEY.md), re-designed TPU-first:
+
+- pure-functional tensor pipelines batched over ``[cell, ue, target, slot, symbol,
+  subcarrier, antenna]`` axes instead of object-per-node callback graphs;
+- every 5G Toolbox primitive the reference leans on (OFDM, LDPC transport chains,
+  PDSCH/PUSCH, DM-RS/CSI-RS/SRS, CDL fading, TR 38.901 pathloss, MMSE equalization,
+  CQI/PMI/RI selection, CA-CFAR, MUSIC) reimplemented as jittable JAX ops;
+- SPMD distribution over ``jax.sharding.Mesh`` (cells/UEs/time-blocks) in place of
+  the reference's ``parfeval`` cell fan-out.
+
+Package layout (mirrors SURVEY.md §2 component inventory):
+    config/    parameter system + scenarios            (ref: +parameters, +scenarios)
+    topology/  OSM city, blockages, LoS, wraparound    (ref: +networkTopology)
+    ops/       PHY/sensing DSP kernel layer            (ref: 5G Toolbox + +sensing math)
+    kernels/   Pallas TPU kernels for hot ops
+    phy/       PDSCH/PUSCH chains, abstract PHY        (ref: +communication/+phyLayer)
+    mac/       scheduler, HARQ, LCP, MAC PDUs          (ref: +communication/+macLayer, +scheduling, +harq)
+    rlc/       RLC UM/AM entities                      (ref: +communication/+rlcLayer)
+    app/       traffic models, packet distribution     (ref: +communication/+appLayer)
+    sensing -> ops/sensing + sim wiring                (ref: +sensing)
+    sim/       cell/network simulation engine          (ref: +simulation)
+    parallel/  mesh + sharding helpers                 (ref: parfeval equivalent)
+    metrics/   KPIs, loggers, visualization data       (ref: +visualizationTools, loggers)
+
+Note on naming: the distribution name is the full reference-derived
+``5g_based_system_level_integrated_sensing_and_communication_simulator_tpu``; the
+import name is ``isac_tpu`` because a Python identifier cannot start with a digit.
+"""
+
+__version__ = "0.1.0"
+
+from isac_tpu.api import simulate  # noqa: F401
