@@ -24,31 +24,42 @@ import numpy as np
 _NC = 1600  # TS 38.211 §5.2.1 discard length
 
 
-def _extend_lfsr(x: np.ndarray, length: int, lags: tuple[int, ...]) -> np.ndarray:
+def _extend_lfsr(
+    x: np.ndarray, length: int, lags: tuple[int, ...], degree: int = 31
+) -> np.ndarray:
     """Extend an LFSR output prefix to `length` bits using sparse lagged recurrences.
 
-    `lags` are the tap positions of the degree-31 recurrence
-    x[n+31] = XOR_j x[n + lag_j], lag_j < 31 (e.g. (3, 0) for x1).
+    `lags` are the tap positions of the degree-D recurrence
+    x[n+D] = XOR_j x[n + lag_j], lag_j < D (e.g. (3, 0) with D=31 for x1).
+    Squaring the GF(2) characteristic polynomial keeps it sparse, so the same
+    recurrence holds at stride 2^k, allowing the known prefix to roughly double
+    per numpy operation (O(log N) vector ops total).
     """
-    out = np.empty(length, dtype=np.uint8)
+    if x.ndim == 1:
+        x = x[:, None]
+        squeeze = True
+    else:
+        squeeze = False
+    width = x.shape[1]
+    out = np.empty((length, width), dtype=np.uint8)
     n = x.shape[0]
     out[:n] = x[:length] if n >= length else x
     max_lag = max(lags)
     while n < length:
         # Largest doubling step k such that the recurrence only reads known bits:
-        # new index i in [n, n + C) reads i - (31 - lag)*2^k ; need the largest
-        # read (lag = max_lag) to stay < n, i.e. C <= (31 - max_lag)*2^k, and the
-        # smallest read (lag = 0) to be >= 0, i.e. 31*2^k <= n.
-        k = int(np.floor(np.log2(n // 31))) if n >= 31 else 0
+        # new index i in [n, n + C) reads i - (D - lag)*2^k ; need the largest
+        # read (lag = max_lag) to stay < n, i.e. C <= (D - max_lag)*2^k, and the
+        # smallest read (lag = 0) to be >= 0, i.e. D*2^k <= n.
+        k = int(np.floor(np.log2(n // degree))) if n >= degree else 0
         step = 1 << k
-        chunk = min((31 - max_lag) * step, length - n)
-        acc = out[n - 31 * step : n - 31 * step + chunk].copy()
+        chunk = min((degree - max_lag) * step, length - n)
+        acc = out[n - degree * step : n - degree * step + chunk].copy()
         for lag in lags:
             if lag:
-                acc ^= out[n - (31 - lag) * step : n - (31 - lag) * step + chunk]
+                acc ^= out[n - (degree - lag) * step : n - (degree - lag) * step + chunk]
         out[n : n + chunk] = acc
         n += chunk
-    return out
+    return out[:, 0] if squeeze else out
 
 
 def prbs_x1(length: int) -> np.ndarray:
