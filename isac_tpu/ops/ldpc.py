@@ -1,0 +1,434 @@
+"""QC-LDPC encode/decode per TS 38.212 §5.3.2 — TPU-native formulation.
+
+The reference delegates to MATLAB nrDLSCH/nrULSCHDecoder (normalized min-sum,
+6 iterations, RV sequence [0 3 2 1]; gNBPhy.m:239-253, uePhy.m:221-231 — see
+SURVEY §2.9). Here the full machinery is explicit:
+
+- 38.212 lifting-size table Z = a*2^j (Table 5.3.2-1) with the 8 shift sets
+  indexed by a; base-graph selection and Kb rules (§5.2.2/§5.3.2);
+- double-diagonal core encoding (p1 from the row-sum trick, p2..p4 by
+  back-substitution, extension parities direct);
+- flooding normalized min-sum decoding formulated as dense batched tensor ops:
+  cyclic Z-shifts are precomputed gathers, per-check min/sign use a padded
+  [rows, max_degree, Z] layout, per-variable aggregation is a one-hot
+  [cols, edges] matmul that maps onto the MXU. No per-edge loops.
+
+NOTE ON TABLES: the shift-coefficient tables (38.212 Tables 5.3.2-2/3) are not
+reproduced verbatim; `_build_base_graph` generates deterministic tables with
+the standard's exact *structure* (46x68 / 42x52, double-diagonal core, identity
+extension, punctured high-degree first two columns, 8 per-a shift sets). Every
+surrounding algorithm (segmentation, rate matching, RV starts, interleaver,
+CRC, HARQ combining) follows 38.212 exactly, and the resulting code is a valid
+QC-LDPC with equivalent rate/length behavior. Swapping in the verbatim tables
+is a data-only change (`BaseGraph.entries`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ----------------------------------------------------------------- lifting sizes
+
+# TS 38.212 Table 5.3.2-1: Z = a * 2^j, set index iLS by a
+_LIFT_SETS = {2: 0, 3: 1, 5: 2, 7: 3, 9: 4, 11: 5, 13: 6, 15: 7}
+LIFTING_SIZES = sorted(
+    {a * (1 << j) for a in _LIFT_SETS for j in range(8) if a * (1 << j) <= 384}
+)
+
+
+def lifting_set_index(z: int) -> int:
+    a = z
+    while a % 2 == 0 and a not in _LIFT_SETS:  # powers of two resolve to a=2
+        a //= 2
+    return _LIFT_SETS[a]
+
+
+def select_base_graph(a_bits: int, rate: float) -> int:
+    """§7.2.2: BG2 if A<=292, or (A<=3824 and R<=0.67), or R<=0.25; else BG1."""
+    if a_bits <= 292 or (a_bits <= 3824 and rate <= 0.67) or rate <= 0.25:
+        return 2
+    return 1
+
+
+def kb_for(bg: int, b_bits: int) -> int:
+    """§5.2.2: Kb = 22 (BG1); BG2: 10/9/8/6 by payload size."""
+    if bg == 1:
+        return 22
+    if b_bits > 640:
+        return 10
+    if b_bits > 560:
+        return 9
+    if b_bits > 192:
+        return 8
+    return 6
+
+
+def select_lifting_size(kb: int, k_prime: int) -> int:
+    """Smallest Z in the table with Kb*Z >= K'."""
+    for z in LIFTING_SIZES:
+        if kb * z >= k_prime:
+            return z
+    raise ValueError(f"K'={k_prime} too large for Kb={kb}")
+
+
+# ----------------------------------------------------------------- base graphs
+
+
+@dataclass(frozen=True, eq=False)
+class BaseGraph:
+    """Prototype matrix: entries (row, col, shifts[8]) with shifts per lifting set."""
+
+    bg: int
+    n_rows: int
+    n_cols: int
+    k_cols: int  # systematic columns (22 or 10)
+    entries: tuple  # ((row, col, (s0..s7)), ...)
+
+    @property
+    def n_core_rows(self) -> int:
+        return 4
+
+    def shift(self, row: int, col: int, ils: int):
+        for r, c, s in self.entries:
+            if r == row and c == col:
+                return s[ils]
+        return None
+
+
+@lru_cache(maxsize=2)
+def base_graph(bg: int) -> BaseGraph:
+    return _build_base_graph(bg)
+
+
+def _build_base_graph(bg: int) -> BaseGraph:
+    """Deterministic structured prototype (see module NOTE ON TABLES)."""
+    if bg == 1:
+        n_rows, n_cols, k_cols = 46, 68, 22
+    else:
+        n_rows, n_cols, k_cols = 42, 52, 10
+    rng = np.random.default_rng(38212 + bg)
+    core_p = k_cols  # first core parity column index
+    entries = {}
+
+    def add(r, c, fixed=None):
+        if (r, c) in entries:
+            return
+        if fixed is not None:
+            entries[(r, c)] = tuple(int(fixed) for _ in range(8))
+        else:
+            entries[(r, c)] = tuple(int(s) for s in rng.integers(0, 384, 8))
+
+    # --- core rows 0..3: dense over systematic columns ---------------------
+    # punctured columns 0,1 appear in every core row (high degree, as in 38.212)
+    for r in range(4):
+        add(r, 0)
+        add(r, 1)
+        others = rng.permutation(np.arange(2, k_cols))
+        take = max(6, int(0.7 * (k_cols - 2)))
+        for c in others[:take]:
+            add(r, int(c))
+    # ensure every systematic column is covered by the core
+    for c in range(k_cols):
+        if not any((r, c) in entries for r in range(4)):
+            add(int(rng.integers(0, 4)), c)
+    # --- double-diagonal core parity (encodable; see encode()) -------------
+    add(0, core_p, fixed=1)  # P^1 — the only non-zero core-parity shift
+    add(0, core_p + 1, fixed=0)
+    add(1, core_p, fixed=0)
+    add(1, core_p + 1, fixed=0)
+    add(1, core_p + 2, fixed=0)
+    add(2, core_p + 2, fixed=0)
+    add(2, core_p + 3, fixed=0)
+    add(3, core_p, fixed=0)
+    add(3, core_p + 3, fixed=0)
+    # --- extension rows: identity parity + sparse connections --------------
+    for r in range(4, n_rows):
+        add(r, core_p + 4 + (r - 4), fixed=0)  # identity extension parity
+        # keep punctured columns protected; rotate through systematic columns
+        add(r, int(r % 2))
+        c1 = 2 + (r * 7) % (k_cols - 2)
+        c2 = 2 + (r * 11 + 3) % (k_cols - 2)
+        add(r, int(c1))
+        if c2 != c1:
+            add(r, int(c2))
+        # occasional core-parity tap for better mixing
+        if r % 3 == 0:
+            add(r, core_p + (r % 4))
+    ent = tuple((r, c, s) for (r, c), s in sorted(entries.items()))
+    return BaseGraph(bg=bg, n_rows=n_rows, n_cols=n_cols, k_cols=k_cols, entries=ent)
+
+
+# ----------------------------------------------------------------- lifted code
+
+
+@dataclass(frozen=True, eq=False)
+class LiftedCode:
+    """Base graph expanded at lifting size Z (shift = V mod Z)."""
+
+    bg: int
+    z: int
+    k: int  # 22Z / 10Z
+    n_full: int  # 68Z / 52Z (incl. punctured 2Z)
+    rows: np.ndarray  # [E] check-block row per edge
+    cols: np.ndarray  # [E] variable-block col per edge
+    shifts: np.ndarray  # [E] cyclic shift
+    n_rows: int
+    n_cols: int
+    k_cols: int
+
+
+@lru_cache(maxsize=32)
+def lifted_code(bg: int, z: int) -> LiftedCode:
+    g = base_graph(bg)
+    ils = lifting_set_index(z)
+    rows, cols, shifts = [], [], []
+    for r, c, s in g.entries:
+        rows.append(r)
+        cols.append(c)
+        shifts.append(s[ils] % z)
+    return LiftedCode(
+        bg=bg,
+        z=z,
+        k=g.k_cols * z,
+        n_full=g.n_cols * z,
+        rows=np.asarray(rows, np.int32),
+        cols=np.asarray(cols, np.int32),
+        shifts=np.asarray(shifts, np.int32),
+        n_rows=g.n_rows,
+        n_cols=g.n_cols,
+        k_cols=g.k_cols,
+    )
+
+
+def _gather_shift(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    """x [..., E, Z], idx [E, Z] -> x[..., e, idx[e, i]]."""
+    e = np.arange(idx.shape[0])[:, None]
+    return x[..., jnp.asarray(e), jnp.asarray(idx)]
+
+
+def _shift_idx(shifts: np.ndarray, z: int, inverse: bool = False) -> np.ndarray:
+    i = np.arange(z)[None, :]
+    s = shifts[:, None]
+    return ((i - s) % z if inverse else (i + s) % z).astype(np.int32)
+
+
+def encode(code: LiftedCode, msg: jnp.ndarray) -> jnp.ndarray:
+    """Systematic QC-LDPC encode. msg [..., K] int -> codeword [..., n_full].
+
+    Core parities by the row-sum trick (only core-parity shift is P^1 at
+    (0, k_cols)); extension parities direct. Everything in int32 XOR on [.., Z]
+    blocks (cheap; decode dominates).
+    """
+    z, kc = code.z, code.k_cols
+    m = msg.reshape(*msg.shape[:-1], kc, z).astype(jnp.int32)
+
+    def pshift(v, s):  # (P^s v)[i] = v[(i+s) mod Z]
+        return jnp.roll(v, -s, axis=-1)
+
+    # lambda_r = XOR over systematic entries of row r
+    lam = []
+    for r in range(4):
+        acc = jnp.zeros((*msg.shape[:-1], z), jnp.int32)
+        for e in range(code.rows.shape[0]):
+            if code.rows[e] == r and code.cols[e] < kc:
+                acc = acc ^ pshift(m[..., code.cols[e], :], int(code.shifts[e]))
+        lam.append(acc)
+    s_all = lam[0] ^ lam[1] ^ lam[2] ^ lam[3]
+    p1 = pshift(s_all, -1)  # P^1 p1 = sum => p1 = P^{-1} sum
+    p2 = lam[0] ^ pshift(p1, 1)
+    p3 = lam[1] ^ p1 ^ p2
+    p4 = lam[3] ^ p1
+    parities = {kc: p1, kc + 1: p2, kc + 2: p3, kc + 3: p4}
+    # extension rows
+    for r in range(4, code.n_rows):
+        acc = jnp.zeros((*msg.shape[:-1], z), jnp.int32)
+        ext_col = kc + 4 + (r - 4)
+        for e in range(code.rows.shape[0]):
+            if code.rows[e] != r:
+                continue
+            c, s = int(code.cols[e]), int(code.shifts[e])
+            if c == ext_col:
+                continue
+            v = m[..., c, :] if c < kc else parities[c]
+            acc = acc ^ pshift(v, s)
+        parities[ext_col] = acc
+    blocks = [m[..., c, :] for c in range(kc)] + [parities[kc + i] for i in range(code.n_cols - kc)]
+    return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
+
+
+@lru_cache(maxsize=32)
+def _decode_plan(bg: int, z: int):
+    """Precomputed gathers for the flooding min-sum decoder."""
+    code = lifted_code(bg, z)
+    e_count = code.rows.shape[0]
+    # group edges by row, padded to max degree
+    dmax = int(np.max(np.bincount(code.rows)))
+    row_edges = np.full((code.n_rows, dmax), -1, np.int32)
+    fill = np.zeros(code.n_rows, np.int32)
+    for e in range(e_count):
+        r = code.rows[e]
+        row_edges[r, fill[r]] = e
+        fill[r] += 1
+    row_pad = row_edges < 0
+    row_edges = np.maximum(row_edges, 0)
+    # position of edge within its row group (for scatter-back)
+    edge_slot = np.zeros(e_count, np.int32)
+    for r in range(code.n_rows):
+        for d in range(dmax):
+            if not row_pad[r, d]:
+                edge_slot[row_edges[r, d]] = d
+    # one-hot col aggregation matrix [n_cols, E]
+    col_onehot = np.zeros((code.n_cols, e_count), np.float32)
+    col_onehot[code.cols, np.arange(e_count)] = 1.0
+    fwd_idx = _shift_idx(code.shifts, z, inverse=False)
+    inv_idx = _shift_idx(code.shifts, z, inverse=True)
+    return code, row_edges, row_pad, edge_slot, col_onehot, fwd_idx, inv_idx, dmax
+
+
+@partial(jax.jit, static_argnames=("bg", "z", "n_iter", "norm"))
+def decode(
+    llr: jnp.ndarray,
+    bg: int,
+    z: int,
+    n_iter: int = 6,
+    norm: float = 0.75,
+):
+    """Flooding normalized min-sum. llr [..., n_full] (positive = bit 0)
+    -> (hard bits [..., K] int8, parity_ok [...] bool)."""
+    code, row_edges, row_pad, edge_slot, col_onehot, fwd_idx, inv_idx, dmax = _decode_plan(bg, z)
+    e_count = code.rows.shape[0]
+    batch = llr.shape[:-1]
+    lv = llr.reshape(*batch, code.n_cols, z).astype(jnp.float32)
+    cols_j = jnp.asarray(code.cols)
+    re_j = jnp.asarray(row_edges)
+    pad_j = jnp.asarray(~row_pad, jnp.float32)  # 1 where real edge
+    slot_j = jnp.asarray(edge_slot)
+    oneh = jnp.asarray(col_onehot)
+
+    c2v0 = jnp.zeros((*batch, e_count, z), jnp.float32)
+
+    def body(carry, _):
+        c2v, total = carry
+        # variable -> check (in shifted/check domain)
+        v2c = _gather_shift(total[..., cols_j, :], fwd_idx) - c2v
+        # check node: min-sum with self-exclusion via min1/min2
+        grp = v2c[..., re_j, :]  # [..., R, D, Z]
+        mag = jnp.abs(grp)
+        # sign(0) must be +1 (punctured zero-LLRs would zero the products)
+        sgn = jnp.where(grp >= 0, 1.0, -1.0) * pad_j[..., None] + (1.0 - pad_j[..., None])
+        mag = jnp.where(pad_j[..., None] > 0, mag, jnp.inf)
+        m1 = jnp.min(mag, axis=-2, keepdims=True)
+        arg = jnp.argmin(mag, axis=-2, keepdims=True)
+        mag2 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2) == arg, jnp.inf, mag
+        )
+        m2 = jnp.min(mag2, axis=-2, keepdims=True)
+        sprod = jnp.prod(sgn, axis=-2, keepdims=True)
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, mag.shape, mag.ndim - 2)
+        out_mag = jnp.where(d_iota == arg, m2, m1)
+        out = norm * sprod * sgn * out_mag  # exclude own sign/mag
+        out = jnp.where(pad_j[..., None] > 0, out, 0.0)
+        # scatter back per edge: edge e lives at (row[e], slot[e])
+        new_c2v = out[..., jnp.asarray(code.rows), slot_j, :]
+        # check -> variable (unshift) and aggregate per column via one-hot matmul
+        c2v_var = _gather_shift(new_c2v, inv_idx)
+        agg = jnp.einsum(
+            "ce,...ez->...cz", oneh, c2v_var, preferred_element_type=jnp.float32
+        )
+        new_total = lv + agg
+        return (new_c2v, new_total), None
+
+    (c2v, total), _ = jax.lax.scan(body, (c2v0, lv), None, length=n_iter)
+    hard_full = (total < 0).astype(jnp.int8).reshape(*batch, code.n_cols * z)
+    hard = hard_full[..., : code.k]
+    # parity check: all check equations satisfied
+    bits_e = _gather_shift(
+        hard_full.reshape(*batch, code.n_cols, z).astype(jnp.float32)[..., cols_j, :],
+        fwd_idx,
+    )
+    row_oneh = np.zeros((code.n_rows, e_count), np.float32)
+    row_oneh[code.rows, np.arange(e_count)] = 1.0
+    syn = jnp.einsum("re,...ez->...rz", jnp.asarray(row_oneh), bits_e)
+    parity_ok = jnp.all(jnp.mod(jnp.round(syn), 2.0) == 0, axis=(-2, -1))
+    return hard, parity_ok
+
+
+# ----------------------------------------------------------------- rate matching
+
+
+def rv_start(bg: int, rv: int, n_cb: int, z: int) -> int:
+    """§5.4.2.1 Table 5.4.2.1-2: k0 for RV 0..3."""
+    if bg == 1:
+        num = {0: 0, 1: 17, 2: 33, 3: 56}[rv]
+        return (num * n_cb // (66 * z)) * z
+    num = {0: 0, 1: 13, 2: 25, 3: 43}[rv]
+    return (num * n_cb // (50 * z)) * z
+
+
+def rate_match_indices(
+    bg: int, z: int, e_bits: int, rv: int, n_filler: int, k: int, n_cb: int | None = None
+) -> np.ndarray:
+    """Circular-buffer bit-selection indices (§5.4.2.1), skipping filler bits.
+
+    Returns positions into the PUNCTURED codeword (length 66Z/50Z, i.e. the
+    full codeword minus its first 2Z bits)."""
+    code_n = (66 if bg == 1 else 50) * z
+    if n_cb is None:
+        n_cb = code_n
+    k0 = rv_start(bg, rv, n_cb, z)
+    # fillers are the LAST n_filler systematic bits (codeword [K-F, K)); the
+    # buffer view is the codeword minus its first 2Z bits
+    f_start, f_end = k - n_filler - 2 * z, k - 2 * z
+    out = np.empty(e_bits, np.int64)
+    j, kk = 0, 0
+    idx = np.arange(n_cb)
+    circ = (k0 + idx) % n_cb
+    keep = ~((circ >= f_start) & (circ < f_end))
+    sel = circ[keep]
+    reps = int(np.ceil(e_bits / sel.shape[0]))
+    out = np.tile(sel, reps)[:e_bits]
+    return out
+
+
+def interleave_indices(e_bits: int, qm: int) -> np.ndarray:
+    """§5.4.2.2 bit interleaver: f = e.reshape(Qm, E/Qm).T.ravel(). Returns perm
+    such that f = e[perm]."""
+    return np.arange(e_bits).reshape(qm, e_bits // qm).T.ravel()
+
+
+def rate_match(codeword: jnp.ndarray, bg: int, z: int, e_bits: int, rv: int,
+               n_filler: int, k: int, qm: int) -> jnp.ndarray:
+    """Full codeword [..., n_full] -> transmitted bits [..., E]."""
+    buf = codeword[..., 2 * z :]  # puncture first 2Z systematic bits
+    sel = rate_match_indices(bg, z, e_bits, rv, n_filler, k)
+    e = buf[..., jnp.asarray(sel)]
+    perm = interleave_indices(e_bits, qm)
+    return e[..., jnp.asarray(perm)]
+
+
+def rate_recover(
+    llr_e: jnp.ndarray, bg: int, z: int, rv: int, n_filler: int, k: int, qm: int,
+    soft_buffer: jnp.ndarray | None = None, filler_llr: float = 1e4,
+) -> jnp.ndarray:
+    """Received LLRs [..., E] -> full-codeword LLRs [..., n_full], combining
+    into soft_buffer (HARQ) when provided. Punctured bits get LLR 0, fillers
+    a large bit-0 LLR."""
+    e_bits = llr_e.shape[-1]
+    perm = interleave_indices(e_bits, qm)
+    deint = jnp.zeros_like(llr_e).at[..., jnp.asarray(perm)].set(llr_e)
+    code_n = (66 if bg == 1 else 50) * z
+    sel = rate_match_indices(bg, z, e_bits, rv, n_filler, k)
+    buf = jnp.zeros((*llr_e.shape[:-1], code_n), llr_e.dtype)
+    buf = buf.at[..., jnp.asarray(sel)].add(deint)
+    if soft_buffer is not None:
+        buf = buf + soft_buffer
+    f_start, f_end = k - n_filler - 2 * z, k - 2 * z
+    if n_filler > 0:
+        buf = buf.at[..., f_start:f_end].set(filler_llr)
+    punct = jnp.zeros((*llr_e.shape[:-1], 2 * z), llr_e.dtype)
+    return jnp.concatenate([punct, buf], axis=-1), buf

@@ -1,0 +1,141 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isac_tpu.ops import ldpc
+
+
+def test_lifting_sizes_table():
+    # TS 38.212 Table 5.3.2-1 spot checks
+    for z in (2, 3, 4, 5, 7, 16, 52, 208, 240, 256, 288, 320, 352, 384):
+        assert z in ldpc.LIFTING_SIZES
+    assert 19 not in ldpc.LIFTING_SIZES and 384 == max(ldpc.LIFTING_SIZES)
+    assert ldpc.lifting_set_index(384) == 1  # 3*128
+    assert ldpc.lifting_set_index(208) == 6  # 13*16
+    assert ldpc.select_lifting_size(22, 8448) == 384
+    assert ldpc.select_lifting_size(10, 100) == 10
+
+
+def test_base_graph_selection():
+    assert ldpc.select_base_graph(100, 0.9) == 2  # A<=292
+    assert ldpc.select_base_graph(4000, 0.2) == 2  # R<=0.25
+    assert ldpc.select_base_graph(3000, 0.5) == 2  # A<=3824, R<=0.67
+    assert ldpc.select_base_graph(8000, 0.7) == 1
+    assert ldpc.kb_for(1, 5000) == 22
+    assert ldpc.kb_for(2, 700) == 10
+    assert ldpc.kb_for(2, 600) == 9
+    assert ldpc.kb_for(2, 300) == 8
+    assert ldpc.kb_for(2, 100) == 6
+
+
+@pytest.mark.parametrize("bg,z", [(1, 16), (2, 16), (1, 52), (2, 40)])
+def test_encode_satisfies_parity(bg, z):
+    """H c = 0 for every check equation — validates the double-diagonal encode."""
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(0)
+    msg = jnp.asarray(rng.integers(0, 2, (3, code.k)).astype(np.int8))
+    cw = np.asarray(ldpc.encode(code, msg))
+    assert cw.shape == (3, code.n_full)
+    # systematic prefix
+    np.testing.assert_array_equal(cw[:, : code.k], np.asarray(msg))
+    # syndrome
+    blocks = cw.reshape(3, code.n_cols, z)
+    for r in range(code.n_rows):
+        syn = np.zeros((3, z), np.int64)
+        for e in range(code.rows.shape[0]):
+            if code.rows[e] == r:
+                v = blocks[:, code.cols[e], :]
+                syn ^= np.roll(v, -int(code.shifts[e]), axis=-1)
+        assert syn.sum() == 0, f"row {r} unsatisfied"
+
+
+@pytest.mark.parametrize("bg,z", [(1, 16), (2, 24)])
+def test_decode_noiseless_with_puncturing(bg, z):
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(1)
+    msg = rng.integers(0, 2, (2, code.k)).astype(np.int8)
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
+    llr = (1.0 - 2.0 * cw) * 8.0
+    llr[:, : 2 * z] = 0.0  # punctured systematic bits never transmitted
+    hard, ok = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=12)
+    assert bool(jnp.all(ok))
+    np.testing.assert_array_equal(np.asarray(hard), msg)
+
+
+def test_decode_corrects_noise():
+    bg, z = 1, 32
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(2)
+    msg = rng.integers(0, 2, (4, code.k)).astype(np.int8)
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
+    x = 1.0 - 2.0 * cw  # BPSK
+    sigma = 0.6  # moderate noise, low-rate full buffer
+    y = x + sigma * rng.standard_normal(x.shape)
+    llr = 2.0 * y / sigma**2
+    llr[:, : 2 * z] = 0.0
+    hard, ok = ldpc.decode(jnp.asarray(llr.astype(np.float32)), bg, z, n_iter=20)
+    np.testing.assert_array_equal(np.asarray(hard), msg)
+    # and the uncoded hard decisions would NOT have been error-free
+    assert (np.sign(y[:, 2 * z :]) != np.sign(x[:, 2 * z :])).sum() > 0
+
+
+def test_rv_starts():
+    z = 384
+    n_cb = 66 * z
+    assert ldpc.rv_start(1, 0, n_cb, z) == 0
+    assert ldpc.rv_start(1, 1, n_cb, z) == 17 * z
+    assert ldpc.rv_start(1, 2, n_cb, z) == 33 * z
+    assert ldpc.rv_start(1, 3, n_cb, z) == 56 * z
+    n_cb2 = 50 * z
+    assert ldpc.rv_start(2, 3, n_cb2, z) == 43 * z
+
+
+def test_rate_match_recover_roundtrip():
+    bg, z, qm = 2, 24, 2
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, (code.k,)).astype(np.int8)
+    n_filler = 8
+    msg[code.k - n_filler :] = 0  # fillers are the last systematic bits, value 0
+    msg_j = jnp.asarray(msg)
+    cw = ldpc.encode(code, msg_j)
+    e_bits = 600
+    tx = np.asarray(ldpc.rate_match(cw, bg, z, e_bits, rv=0, n_filler=n_filler, k=code.k, qm=qm))
+    assert tx.shape == (e_bits,)
+    llr_e = jnp.asarray(((1.0 - 2.0 * tx) * 9.0).astype(np.float32))
+    full, buf = ldpc.rate_recover(llr_e, bg, z, rv=0, n_filler=n_filler, k=code.k, qm=qm)
+    hard, ok = ldpc.decode(full, bg, z, n_iter=15)
+    np.testing.assert_array_equal(np.asarray(hard), msg)
+    assert bool(ok)
+
+
+def test_harq_soft_combining_improves():
+    """Two noisy RV transmissions combined must succeed where one fails."""
+    bg, z, qm = 2, 16, 2
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(4)
+    msg = rng.integers(0, 2, (code.k,)).astype(np.int8)
+    cw = ldpc.encode(code, jnp.asarray(msg))
+    e_bits = 320  # heavily punctured single transmission (high rate)
+    sigma = 0.9
+
+    def rx(rv):
+        tx = np.asarray(ldpc.rate_match(cw, bg, z, e_bits, rv, 0, code.k, qm)).astype(np.float64)
+        y = (1 - 2 * tx) + sigma * rng.standard_normal(e_bits)
+        return jnp.asarray((2 * y / sigma**2).astype(np.float32))
+
+    full0, buf = ldpc.rate_recover(rx(0), bg, z, 0, 0, code.k, qm)
+    _, ok0 = ldpc.decode(full0, bg, z, n_iter=10)
+    full1, buf = ldpc.rate_recover(rx(3), bg, z, 3, 0, code.k, qm, soft_buffer=buf)
+    hard1, ok1 = ldpc.decode(full1, bg, z, n_iter=10)
+    full2, buf = ldpc.rate_recover(rx(2), bg, z, 2, 0, code.k, qm, soft_buffer=buf)
+    hard2, ok2 = ldpc.decode(full2, bg, z, n_iter=10)
+    # after three combinings decoding must succeed
+    assert bool(ok2)
+    np.testing.assert_array_equal(np.asarray(hard2), msg)
+
+
+def test_interleaver_is_permutation():
+    for qm in (2, 4, 6, 8):
+        p = ldpc.interleave_indices(240, qm)
+        assert sorted(p.tolist()) == list(range(240))
