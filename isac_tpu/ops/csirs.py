@@ -1,0 +1,114 @@
+"""NZP CSI-RS generation per TS 38.211 §7.4.1.5 (nrCSIRS/nrCSIRSIndices analogue).
+
+The reference uses row 5 (4 ports, density 1, CDM-FD2) with period [5 2]
+(+communication/setupCSIRS.m:1-33). Supported rows:
+- row 1: 1 port, density 3 (k0, k0+4, k0+8), no CDM
+- row 4: 4 ports, density 1, two FD-CDM2 groups at k0, k0+2
+- row 5: 4 ports, density 1, FD-CDM2 at (k0, k0+1) over two symbols (l0, l0+1)
+
+Sequence r(m) is Gold-QPSK with c_init = (2^10 (14 ns + l + 1)(2 nID + 1) + nID)
+mod 2^31 (§7.4.1.5.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from isac_tpu.utils.sequences import gold_qpsk
+
+
+def csirs_cinit(slot: int, symbol: int, n_id: int) -> int:
+    return ((1 << 10) * (14 * slot + symbol + 1) * (2 * n_id + 1) + n_id) % (1 << 31)
+
+
+def csirs_sequence(slot: int, symbol: int, n_id: int, length: int, offset: int = 0) -> np.ndarray:
+    return gold_qpsk(csirs_cinit(slot, symbol, n_id), length, offset_pairs=offset)
+
+
+def csirs_fill_grid(
+    grid: np.ndarray,  # [n_ports, n_sym, n_sc]
+    slot: int,
+    n_id: int,
+    n_prb: int,
+    row: int = 5,
+    k0: int = 0,
+    l0: int = 5,
+    prb_start: int = 0,
+):
+    """Write CSI-RS into the port grid. Returns (grid, mask [n_sym, n_sc]).
+
+    Port p signals are CDM-orthogonal: FD-OCC over paired subcarriers,
+    TD-OCC over paired symbols (row 5).
+    """
+    n_ports = grid.shape[0]
+    mask = np.zeros(grid.shape[-2:], bool)
+    prbs = np.arange(prb_start, prb_start + n_prb)
+    if row == 1:
+        assert n_ports >= 1
+        ks = (prbs[:, None] * 12 + k0 + np.array([0, 4, 8])[None, :]).reshape(-1)
+        r = csirs_sequence(slot, l0, n_id, len(ks))
+        grid[0, l0, ks] = r
+        mask[l0, ks] = True
+        return grid, mask
+    if row == 4:
+        # 4 ports: two FD-CDM2 groups at k0 and k0+2, same symbol
+        base = prbs * 12 + k0
+        r = csirs_sequence(slot, l0, n_id, 2 * len(base))
+        for p in range(min(4, n_ports)):
+            grp, occ = divmod(p, 2)
+            ks = base + 2 * grp
+            w = np.array([1.0, 1.0]) if occ == 0 else np.array([1.0, -1.0])
+            for i, dk in enumerate((0, 1)):
+                grid[p, l0, ks + dk] = r.reshape(-1, 2)[:, i] * w[i]
+                mask[l0, ks + dk] = True
+        return grid, mask
+    if row == 5:
+        # 4 ports: FD-CDM2 x TD-CDM... row 5 uses (k0,k0+1) x (l0,l0+1), cdm=FD-CDM2
+        base = prbs * 12 + k0
+        for li, l in enumerate((l0, l0 + 1)):
+            r = csirs_sequence(slot, l, n_id, 2 * len(base))
+            for p in range(min(4, n_ports)):
+                grp, occ = divmod(p, 2)  # grp selects symbol-pair half
+                if grp != li:
+                    continue
+                w = np.array([1.0, 1.0]) if occ == 0 else np.array([1.0, -1.0])
+                for i, dk in enumerate((0, 1)):
+                    grid[p, l, base + dk] = r.reshape(-1, 2)[:, i] * w[i]
+            mask[l, base] = True
+            mask[l, base + 1] = True
+        return grid, mask
+    raise NotImplementedError(f"CSI-RS row {row} not supported")
+
+
+def csirs_estimate_ports(
+    rx_grid: np.ndarray,  # jnp [n_rx, n_sym, n_sc]
+    slot: int,
+    n_id: int,
+    n_prb: int,
+    row: int = 5,
+    k0: int = 0,
+    l0: int = 5,
+    prb_start: int = 0,
+):
+    """LS channel estimate at CSI-RS REs -> H [n_re, n_rx, n_ports] + re PRB ids.
+
+    CDM decode mirrors csirs_fill_grid's mapping.
+    """
+    import jax.numpy as jnp
+
+    prbs = np.arange(prb_start, prb_start + n_prb)
+    base = prbs * 12 + k0
+    if row != 5:
+        raise NotImplementedError("estimation implemented for row 5 (the reference default)")
+    hs = []
+    for li, l in enumerate((l0, l0 + 1)):
+        r = csirs_sequence(slot, l, n_id, 2 * len(base)).reshape(-1, 2)
+        y0 = rx_grid[:, l, jnp.asarray(base)]  # [n_rx, n_prb]
+        y1 = rx_grid[:, l, jnp.asarray(base + 1)]
+        ls0 = y0 * jnp.conj(jnp.asarray(r[:, 0].astype(np.complex64)))
+        ls1 = y1 * jnp.conj(jnp.asarray(r[:, 1].astype(np.complex64)))
+        h_even = (ls0 + ls1) / 2.0  # port 2*li + 0
+        h_odd = (ls0 - ls1) / 2.0  # port 2*li + 1
+        hs.append((h_even, h_odd))
+    h = jnp.stack([hs[0][0], hs[0][1], hs[1][0], hs[1][1]], axis=-1)  # [n_rx, n_prb, 4]
+    return jnp.transpose(h, (1, 0, 2)), prbs  # [n_prb(re), n_rx, 4]

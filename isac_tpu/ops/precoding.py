@@ -1,0 +1,162 @@
+"""Precoding: Type-1 single-panel codebook, PRG-bundled precoding, PUSCH codebook.
+
+TPU-native equivalents of:
+- +communication/pmiType1SinglePanelCodebook.m:1-554 (TS 38.214 T5.2.2.2.1-x:
+  DFT beams x co-phasing)
+- +communication/+phyLayer/prgPrecode.m:53-144 (PRG-bundled beamforming)
+- MATLAB nrPUSCHCodebook (TS 38.211 T6.3.1.5-x TPMI matrices)
+
+Codebooks are generated host-side as [n_codewords, n_ports, n_layers] tensors;
+selection loops become batched einsums (SURVEY §7.4 hard part #7).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def type1_codebook(n1: int, n2: int, rank: int, o1: int = 4, o2: int | None = None) -> np.ndarray:
+    """Type-1 single-panel codebook, codebookMode 1. Returns [n_cw, 2*N1*N2, rank].
+
+    Rank 1: W = [v_lm ; phi_n v_lm]/sqrt(P); rank 2..4 pair orthogonal beams
+    (i13 beam-offset construction) with +-phi co-phasing, per TS 38.214
+    §5.2.2.2.1. Ranks > 2 use the orthogonal-beam generalization.
+    """
+    if o2 is None:
+        o2 = 4 if n2 > 1 else 1
+    p = 2 * n1 * n2
+
+    def beam(l, m):
+        v1 = np.exp(2j * np.pi * np.arange(n1) * l / (o1 * n1))
+        v2 = np.exp(2j * np.pi * np.arange(n2) * m / (o2 * n2))
+        return np.kron(v1, v2)  # [N1*N2]
+
+    cws = []
+    if rank == 1:
+        for l in range(o1 * n1):
+            for m in range(o2 * n2):
+                v = beam(l, m)
+                for n in range(4):
+                    phi = np.exp(1j * np.pi * n / 2)
+                    w = np.concatenate([v, phi * v]) / np.sqrt(p)
+                    cws.append(w[:, None])
+    else:
+        # beam offset k1 for orthogonal second beam (i13 mechanism)
+        offsets = [(0, 0)] if rank > 2 else [(0, 0), (o1, 0), (0, o2) if n2 > 1 else (2 * o1, 0)]
+        offsets = [(o1 * (r % n1 if n1 > 1 else 0), 0) for r in range(1, rank)] if rank > 2 else offsets
+        for l in range(o1 * n1):
+            for m in range(o2 * n2):
+                if rank == 2:
+                    for k1, k2 in [(0, 0), (o1 if n1 > 1 else 0, 0 if n1 > 1 else o2)]:
+                        v0 = beam(l, m)
+                        v1 = beam(l + k1, m + k2)
+                        for n in range(2):
+                            phi = np.exp(1j * np.pi * n / 2)
+                            w = np.stack(
+                                [
+                                    np.concatenate([v0, phi * v0]),
+                                    np.concatenate([v1, -phi * v1]),
+                                ],
+                                axis=-1,
+                            ) / np.sqrt(2 * p)
+                            cws.append(w)
+                else:
+                    # ranks 3/4: `rank` orthogonal beams, alternating co-phase
+                    cols = []
+                    for r in range(rank):
+                        lr = l + (r % max(n1, 1)) * o1
+                        vr = beam(lr, m)
+                        sgn = 1.0 if r % 2 == 0 else -1.0
+                        cols.append(np.concatenate([vr, sgn * vr]))
+                    w = np.stack(cols, axis=-1) / np.sqrt(rank * p)
+                    cws.append(w)
+    return np.asarray(cws, np.complex64)
+
+
+def csirs_panel_dims(n_ports: int) -> tuple:
+    """(N1, N2) per TS 38.214 T5.2.2.2.1-2 (csirsPanelDimensions.m:1-20)."""
+    table = {2: (1, 1), 4: (2, 1), 8: (2, 2), 12: (3, 2), 16: (4, 2), 24: (4, 3), 32: (4, 4)}
+    if n_ports not in table:
+        raise ValueError(f"unsupported CSI-RS port count {n_ports}")
+    return table[n_ports]
+
+
+@lru_cache(maxsize=16)
+def pusch_codebook(n_ports: int, rank: int) -> np.ndarray:
+    """PUSCH TPMI codebook (TS 38.211 Tables 6.3.1.5-1..7, fully-coherent set).
+
+    Returns [n_tpmi, n_ports, rank].
+    """
+    if n_ports == 1:
+        return np.ones((1, 1, 1), np.complex64)
+    j = 1j
+    if n_ports == 2 and rank == 1:
+        ws = [[1, 0], [0, 1], [1, 1], [1, -1], [1, j], [1, -j]]
+        return (np.asarray(ws, np.complex64) / np.sqrt(2))[:, :, None]
+    if n_ports == 2 and rank == 2:
+        ws = [
+            np.eye(2) / np.sqrt(2),
+            np.array([[1, 1], [1, -1]]) / 2.0,
+            np.array([[1, 1], [j, -j]]) / 2.0,
+        ]
+        return np.asarray(ws, np.complex64)
+    if n_ports == 4 and rank == 1:
+        ws = []
+        for k in range(4):  # antenna selection
+            e = np.zeros(4)
+            e[k] = 1
+            ws.append(e / 1.0)
+        for ph1 in (1, -1, j, -j):
+            for ph2 in (1, -1, j, -j):
+                ws.append(np.array([1, ph1, ph2, ph1 * ph2]) / 2.0)
+        return np.asarray(ws, np.complex64)[:, :, None]
+    if n_ports == 4 and rank == 2:
+        ws = []
+        for ph in (1, j):
+            for a, b in [(1, 1), (1, -1)]:
+                w = np.array([[1, 1], [a, -a], [ph, ph * b], [ph * a, -ph * a * b]]) / (2 * np.sqrt(2))
+                ws.append(w)
+        ws.append(np.array([[1, 0], [0, 1], [1, 0], [0, 1]]) / 2.0)
+        ws.append(np.array([[1, 0], [0, 1], [-1, 0], [0, -1]]) / 2.0)
+        return np.asarray(ws, np.complex64)
+    if n_ports == 4 and rank in (3, 4):
+        # identity-based + DFT-based subset
+        ws = []
+        eye = np.eye(4)[:, :rank]
+        ws.append(eye / np.sqrt(rank))
+        f = np.fft.fft(np.eye(4)) / 2.0
+        ws.append(f[:, :rank] / np.sqrt(rank / 4 * 4))
+        return np.asarray(ws, np.complex64)
+    raise ValueError(f"unsupported PUSCH codebook: {n_ports} ports rank {rank}")
+
+
+def max_pusch_tpmi(n_ports: int, rank: int) -> int:
+    """Number of TPMIs (maxPUSCHPrecodingMatrixIndicator.m analogue)."""
+    return pusch_codebook(n_ports, rank).shape[0]
+
+
+def prg_indices(n_prb: int, prg_size: int = 2) -> np.ndarray:
+    """PRB -> PRG id (prgPrecode.m getPRGSet:94-100). [n_prb]."""
+    return (np.arange(n_prb) // prg_size).astype(np.int32)
+
+
+def prg_precode(
+    layer_grid: jnp.ndarray,  # [n_layers, n_sym, n_sc]
+    w_per_prg: jnp.ndarray,  # [n_prg, n_ports, n_layers]
+    prb_start: int = 0,
+    prg_size: int = 2,
+) -> jnp.ndarray:
+    """PRG-bundled precoding -> antenna-port grid [n_ports, n_sym, n_sc].
+
+    Each subcarrier uses its PRG's precoder (prgPrecode.m:103-139).
+    """
+    n_layers, n_sym, n_sc = layer_grid.shape
+    prb_of_sc = (np.arange(n_sc) // 12) + prb_start
+    prg_of_sc = (prb_of_sc // prg_size).astype(np.int32)
+    prg_of_sc = prg_of_sc - prg_of_sc.min()
+    w_sc = w_per_prg[jnp.asarray(prg_of_sc)]  # [n_sc, n_ports, n_layers]
+    return jnp.einsum("kpl,lsk->psk", w_sc, layer_grid, preferred_element_type=jnp.complex64)

@@ -1,0 +1,108 @@
+"""SRS generation per TS 38.211 §6.4.1.4 (nrSRS/nrSRSIndices analogue).
+
+The reference configures per-UE full-band SRS: comb 4, last symbol (13),
+2 ports, staggered periodicity (+communication/setupSRS.m:1-33). Base sequences
+are low-PAPR Zadoff-Chu (§5.2.2); per-port comb offsets + cyclic shifts give
+orthogonality.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+
+def _largest_prime_below(n: int) -> int:
+    def is_prime(x):
+        if x < 2:
+            return False
+        for d in range(2, int(np.sqrt(x)) + 1):
+            if x % d == 0:
+                return False
+        return True
+
+    for x in range(n, 1, -1):
+        if is_prime(x):
+            return x
+    return 2
+
+
+@lru_cache(maxsize=64)
+def low_papr_base_sequence(m_zc: int, u: int = 0, v: int = 0) -> np.ndarray:
+    """Low-PAPR sequence type 1: cyclic-extended Zadoff-Chu for length >= 36
+    (TS 38.211 §5.2.2.1). For short lengths a ZC fallback is used."""
+    n_zc = _largest_prime_below(m_zc)
+    q_bar = n_zc * (u + 1) / 31.0
+    q = int(np.floor(q_bar + 0.5)) + v * (1 if int(np.floor(2 * q_bar)) % 2 == 0 else -1)
+    m = np.arange(n_zc)
+    x_q = np.exp(-1j * np.pi * q * m * (m + 1) / n_zc)
+    return x_q[np.arange(m_zc) % n_zc]
+
+
+def srs_sequence(m_sc: int, u: int = 0, cyclic_shift: int = 0, n_cs_max: int = 12) -> np.ndarray:
+    """r(n) = e^{j alpha n} * base(n), alpha = 2 pi cs / n_cs_max."""
+    base = low_papr_base_sequence(m_sc, u)
+    alpha = 2.0 * np.pi * cyclic_shift / n_cs_max
+    return base * np.exp(1j * alpha * np.arange(m_sc))
+
+
+def srs_subcarriers(n_prb: int, comb: int = 4, comb_offset: int = 0, prb_start: int = 0) -> np.ndarray:
+    """Comb-mapped subcarrier indices over the sounded band."""
+    n_sc = n_prb * 12
+    return prb_start * 12 + np.arange(comb_offset, n_sc, comb)
+
+
+def srs_fill_grid(
+    grid: np.ndarray,  # [n_ports, n_sym, n_sc]
+    n_prb: int,
+    symbol: int = 13,
+    comb: int = 4,
+    comb_offset: int = 0,
+    prb_start: int = 0,
+    u: int = 0,
+):
+    """Write SRS for each port (port p uses cyclic shift p). Returns (grid, mask)."""
+    n_ports = grid.shape[0]
+    ks = srs_subcarriers(n_prb, comb, comb_offset, prb_start)
+    mask = np.zeros(grid.shape[-2:], bool)
+    for p in range(n_ports):
+        r = srs_sequence(len(ks), u, cyclic_shift=p * (12 // max(n_ports, 1)) % 12)
+        grid[p, symbol, ks] = r
+    mask[symbol, ks] = True
+    return grid, mask
+
+
+def srs_estimate_ports(
+    rx_grid,  # jnp [n_rx, n_sym, n_sc]
+    n_prb: int,
+    n_ports: int,
+    symbol: int = 13,
+    comb: int = 4,
+    comb_offset: int = 0,
+    prb_start: int = 0,
+    u: int = 0,
+):
+    """LS estimate at SRS REs, separating ports by cyclic-shift correlation.
+
+    Returns (H [n_re, n_rx, n_ports], subcarrier indices [n_re]).
+    """
+    import jax.numpy as jnp
+
+    ks = srs_subcarriers(n_prb, comb, comb_offset, prb_start)
+    y = rx_grid[:, symbol, jnp.asarray(ks)]  # [n_rx, n_re]
+    hs = []
+    for p in range(n_ports):
+        r = srs_sequence(len(ks), u, cyclic_shift=p * (12 // max(n_ports, 1)) % 12)
+        ls = y * jnp.conj(jnp.asarray(r.astype(np.complex64)))
+        # cyclic shifts separate in the "delay" domain; a moving average over
+        # subcarriers suppresses the other ports' rotating components
+        win = max(n_ports * 2, 4)
+        kern = jnp.ones((win,), ls.dtype) / win
+        pad = win // 2
+        lsp = jnp.pad(ls, ((0, 0), (pad, pad)), mode="edge")
+        sm = jnp.stack([jnp.convolve(lsp[i], kern, mode="valid")[: ls.shape[1]]
+                        for i in range(ls.shape[0])])
+        hs.append(sm)
+    h = jnp.stack(hs, axis=-1)  # [n_rx, n_re, n_ports]
+    return jnp.transpose(h, (1, 0, 2)), ks

@@ -1,0 +1,148 @@
+"""End-to-end PDSCH/PUSCH link tests over CDL fading (BASELINE config #1 slice)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isac_tpu.ops.cdl import apply_channel_freq, build_cdl_link, cdl_frequency_response, subcarrier_freqs
+from isac_tpu.ops.csi import cqi_select, ri_select, sinr_to_cqi, ul_tpmi_select, SINR_TO_CQI_DL
+from isac_tpu.ops.precoding import csirs_panel_dims, prg_indices, pusch_codebook, type1_codebook
+from isac_tpu.phy.chains import SCHGrant, grant_tbs, sch_receive, sch_transmit
+
+
+def ula_positions(n, spacing=0.5, fc=3.5e9):
+    lam = 299792458.0 / fc
+    return np.stack([np.zeros(n), np.arange(n) * spacing * lam, np.zeros(n)], -1)
+
+
+def test_grant_tbs_reasonable():
+    g = SCHGrant(n_prb=51, n_sc_grid=612, mcs=10, n_layers=1)
+    tbs = grant_tbs(g)
+    # 51 PRB, ~150 data REs/PRB, 16QAM R=0.33: ~ 51*150*4*0.33 ~ 10k bits
+    assert 6000 < tbs < 14000
+
+
+def test_pdsch_awgn_roundtrip_identity_channel():
+    grant = SCHGrant(n_prb=24, n_sc_grid=288, mcs=5, n_layers=1, rnti=7)
+    rng = np.random.default_rng(0)
+    tb = jnp.asarray(rng.integers(0, 2, grant_tbs(grant)).astype(np.int8))
+    port_grid, info = sch_transmit(tb, grant)
+    assert port_grid.shape == (1, 14, 288)
+    sigma2 = 0.02
+    noise = (rng.standard_normal((2, 14, 288)) + 1j * rng.standard_normal((2, 14, 288))
+             ).astype(np.complex64) * np.sqrt(sigma2 / 2)
+    rx = jnp.concatenate([port_grid, 0.8 * port_grid]) + jnp.asarray(noise)
+    out = sch_receive(rx, grant)
+    assert bool(out["crc_ok"]) and out["tbs"] == tb.shape[0]
+    np.testing.assert_array_equal(np.asarray(out["tb"]), np.asarray(tb))
+    assert float(out["sinr_db"]) > 10
+
+
+@pytest.mark.parametrize(
+    "mcs,n_layers,profile,sigma2",
+    [(4, 1, "CDL-D", 2e-3),  # LOS channel, rank 1
+     (10, 2, "CDL-A", 1e-4)],  # rich scattering for spatial multiplexing
+)
+def test_pdsch_over_cdl_fading(mcs, n_layers, profile, sigma2):
+    n_prb, n_sc = 24, 288
+    grant = SCHGrant(n_prb=n_prb, n_sc_grid=n_sc, mcs=mcs, n_layers=n_layers, rnti=3, slot=2)
+    rng = np.random.default_rng(1)
+    tb = jnp.asarray(rng.integers(0, 2, grant_tbs(grant)).astype(np.int8))
+    n_tx, n_rx = 4, 4
+    # identity-ish precoding: first n_layers columns of a DFT
+    w_full = np.fft.fft(np.eye(n_tx))[:, :n_layers] / np.sqrt(n_tx * n_layers)
+    n_prg = n_prb // 2
+    w = jnp.asarray(np.tile(w_full[None], (n_prg, 1, 1)).astype(np.complex64))
+    port_grid, _ = sch_transmit(tb, grant, w=w)
+    assert port_grid.shape == (n_tx, 14, n_sc)
+    link = build_cdl_link(profile, 100.0, 3.5e9, ula_positions(n_tx), ula_positions(n_rx),
+                          ue_velocity=1.0, seed=2)
+    h = cdl_frequency_response(link, np.arange(14) * 3.6e-5, subcarrier_freqs(n_sc, 30e3))
+    rx = apply_channel_freq(port_grid, h)
+    noise = (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+             ).astype(np.complex64) * np.sqrt(sigma2 / 2)
+    out = sch_receive(rx + jnp.asarray(noise), grant)
+    assert bool(out["crc_ok"]), f"BLER fail at sinr {float(out['sinr_db']):.1f} dB"
+    np.testing.assert_array_equal(np.asarray(out["tb"]), np.asarray(tb))
+
+
+def test_pusch_with_tpmi_precoding():
+    grant = SCHGrant(n_prb=24, n_sc_grid=288, mcs=8, n_layers=1, rnti=9,
+                     direction="UL", slot=4)
+    rng = np.random.default_rng(3)
+    tb = jnp.asarray(rng.integers(0, 2, grant_tbs(grant)).astype(np.int8))
+    w = jnp.asarray(pusch_codebook(2, 1)[2])  # [1;1]/sqrt(2)
+    port_grid, _ = sch_transmit(tb, grant, w=w)
+    assert port_grid.shape == (2, 14, 288)
+    link = build_cdl_link("CDL-D", 30.0, 3.5e9, ula_positions(2), ula_positions(4), seed=4)
+    h = cdl_frequency_response(link, np.arange(14) * 3.6e-5, subcarrier_freqs(288, 30e3))
+    rx = apply_channel_freq(port_grid, h)
+    sigma2 = 1e-3
+    noise = (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape)
+             ).astype(np.complex64) * np.sqrt(sigma2 / 2)
+    out = sch_receive(rx + jnp.asarray(noise), grant)
+    assert bool(out["crc_ok"])
+    np.testing.assert_array_equal(np.asarray(out["tb"]), np.asarray(tb))
+
+
+def test_harq_rv_retransmission_through_chain():
+    """Failed first PDSCH at low SNR, success after RV-3 combining."""
+    grant0 = SCHGrant(n_prb=16, n_sc_grid=192, mcs=20, n_layers=1)  # aggressive MCS
+    rng = np.random.default_rng(5)
+    tb = jnp.asarray(rng.integers(0, 2, grant_tbs(grant0)).astype(np.int8))
+    sigma2 = 0.12
+
+    def tx_rx(rv, bufs):
+        g = SCHGrant(**{**grant0.__dict__, "rv": rv})
+        pg, _ = sch_transmit(tb, g)
+        noise = (rng.standard_normal((2, 14, 192)) + 1j * rng.standard_normal((2, 14, 192))
+                 ).astype(np.complex64) * np.sqrt(sigma2 / 2)
+        rx = jnp.concatenate([pg, pg * 0.9]) + jnp.asarray(noise)
+        return sch_receive(rx, g, soft_buffers=bufs)
+
+    out0 = tx_rx(0, None)
+    out1 = tx_rx(3, out0["soft_buffers"])
+    out2 = tx_rx(2, out1["soft_buffers"]) if not bool(out1["crc_ok"]) else out1
+    assert bool(out2["crc_ok"])
+    np.testing.assert_array_equal(np.asarray(out2["tb"]), np.asarray(tb))
+
+
+def test_csi_selection_pipeline():
+    """RI/PMI/CQI selection on a synthetic 4-port channel."""
+    rng = np.random.default_rng(6)
+    n_re, n_rx, n_ports = 64, 2, 4
+    h = (rng.standard_normal((n_re, n_rx, n_ports)) + 1j * rng.standard_normal(
+        (n_re, n_rx, n_ports))).astype(np.complex64) / np.sqrt(2)
+    nvar = 0.01
+    rank = int(ri_select(jnp.asarray(h), nvar, max_rank=2))
+    assert rank in (1, 2)
+    n1, n2 = csirs_panel_dims(n_ports)
+    sb = np.repeat(np.arange(8), 8)
+    rep = cqi_select(jnp.asarray(h), nvar, rank, n1, n2, subband_of_re=sb)
+    cqi_sb = np.asarray(rep["cqi_sb"])
+    assert cqi_sb.shape == (8,)
+    assert np.all(cqi_sb >= 1) and np.all(cqi_sb <= 15)
+    assert 1 <= int(rep["cqi_wb"]) <= 15
+    # high SNR -> high CQI
+    rep_hi = cqi_select(jnp.asarray(h), 1e-5, 1, n1, n2, subband_of_re=sb)
+    assert int(rep_hi["cqi_wb"]) >= 13
+
+
+def test_ul_tpmi_select_picks_matched_precoder():
+    """Channel aligned with one codebook entry -> that TPMI wins."""
+    cb = pusch_codebook(2, 1)  # [6, 2, 1]
+    target = 3  # [1;-1]/sqrt(2)
+    rng = np.random.default_rng(7)
+    n_re = 32
+    # H = u * w_target^H -> transmitting with w_target maximizes power
+    u = (rng.standard_normal((n_re, 4, 1)) + 1j * rng.standard_normal((n_re, 4, 1)))
+    h = (u @ cb[target].conj().T[None]).astype(np.complex64)
+    tpmi, sinr_db = ul_tpmi_select(jnp.asarray(h), 0.01, 1)
+    assert int(tpmi) == target
+    assert float(sinr_db[0]) > 10
+
+
+def test_sinr_to_cqi_table_edges():
+    got = np.asarray(sinr_to_cqi(jnp.asarray([-10.0, -3.46, 1.54, 35.43, 40.0])))
+    assert got.tolist() == [0, 1, 2, 15, 15]
+    assert SINR_TO_CQI_DL.shape == (15,)
