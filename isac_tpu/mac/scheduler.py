@@ -1,0 +1,266 @@
+"""MAC scheduler: RR / PF / BestCQI strategies, retransmissions-first, CSI-driven
+link adaptation, HARQ context management.
+
+TPU-native re-design of +communication/+scheduling/schedulerEntity.m:1-2950 +
+proportionalFair.m / roundRobin.m / bestCQI.m (SURVEY §2.5): the reference's
+per-RBG callback loop becomes a vectorized metric matrix [n_ues, n_rbgs] with a
+sequential masked argmax over RBGs (host numpy — control plane; the data plane
+stays on device). Grants mirror downlinkGrantFormat.m / uplinkGrantFormat.m.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from isac_tpu.mac.harq import HarqState
+from isac_tpu.mac.tables import cqi_to_mcs, mcs_info, rbg_size
+from isac_tpu.ops.transport import nr_tbs
+
+
+@dataclass
+class Grant:
+    """DL/UL grant (downlinkGrantFormat.m:1-55 / uplinkGrantFormat.m fields)."""
+
+    rnti: int
+    ue: int  # 0-based index
+    direction: str  # 'DL' | 'UL'
+    slot: int  # absolute slot of the data transmission
+    prb_set: tuple
+    sym_start: int = 0
+    n_sym: int = 14
+    mcs: int = 0
+    ndi: int = 0
+    rv: int = 0
+    harq_id: int = 0
+    n_layers: int = 1
+    k1: int = 2  # PDSCH->feedback offset (schedulerEntity.m:2148-2171)
+    tpmi: int = 0
+    pmi_sb: tuple = ()  # per-subband PMI for precoder construction
+    rank: int = 1
+    is_retx: bool = False
+    tbs: int = 0
+
+
+@dataclass
+class UEContext:
+    """Per-UE scheduler-visible state (CSI + buffers)."""
+
+    rnti: int
+    dl_cqi_rb: np.ndarray  # [n_rb]
+    ul_cqi_rb: np.ndarray
+    dl_rank: int = 1
+    ul_rank: int = 1
+    dl_pmi_sb: np.ndarray = None  # [n_sb]
+    ul_tpmi: int = 0
+    dl_buffer: int = 0  # bytes pending (RLC)
+    ul_buffer: int = 0  # bytes (from BSR)
+    served_dl: float = 1.0  # PF EWMA (bits/s)
+    served_ul: float = 1.0
+
+
+class Scheduler:
+    """Cell scheduler. One instance per cell; schedule_slot() per TX slot."""
+
+    def __init__(
+        self,
+        n_ues: int,
+        n_rb: int,
+        strategy: str = "PF",
+        rbg_config: int = 1,
+        n_harq: int = 16,
+        mcs_table: str = "qam64",
+        pf_weight: float = 0.5,
+        max_rb_per_ue: int | None = None,
+        slot_duration_s: float = 5e-4,
+        rnti_base: int = 1,
+    ):
+        self.n_ues = n_ues
+        self.n_rb = n_rb
+        self.strategy = strategy
+        self.rbg = rbg_size(n_rb, rbg_config)
+        self.n_rbgs = int(np.ceil(n_rb / self.rbg))
+        self.mcs_table = mcs_table
+        self.pf_weight = pf_weight
+        self.max_rb_per_ue = max_rb_per_ue or n_rb
+        self.slot_dur = slot_duration_s
+        self.harq_dl = HarqState(n_ues, n_harq)
+        self.harq_ul = HarqState(n_ues, n_harq)
+        self.ues = [
+            UEContext(
+                rnti=rnti_base + i,
+                dl_cqi_rb=np.full(n_rb, 7, np.int32),
+                ul_cqi_rb=np.full(n_rb, 7, np.int32),
+                dl_pmi_sb=np.zeros(max(n_rb // 4, 1), np.int32),
+            )
+            for i in range(n_ues)
+        ]
+        self._rr_last = {"DL": -1, "UL": -1}
+
+    # ---------------------------------------------------------------- CSI in
+
+    def update_dl_csi(self, ue: int, cqi_rb: np.ndarray, rank: int, pmi_sb: np.ndarray):
+        """CSI report in (gNBMAC.m updateChannelQualityDL via controlRx:580-585)."""
+        u = self.ues[ue]
+        u.dl_cqi_rb = np.asarray(cqi_rb, np.int32)
+        u.dl_rank = int(rank)
+        u.dl_pmi_sb = np.asarray(pmi_sb, np.int32)
+
+    def update_ul_csi(self, ue: int, cqi_rb: np.ndarray, rank: int, tpmi: int):
+        """SRS indication in (gNBMAC.m srsIndication:452-469)."""
+        u = self.ues[ue]
+        u.ul_cqi_rb = np.asarray(cqi_rb, np.int32)
+        u.ul_rank = int(rank)
+        u.ul_tpmi = int(tpmi)
+
+    def update_buffer(self, ue: int, direction: str, n_bytes: int):
+        if direction == "DL":
+            self.ues[ue].dl_buffer = int(n_bytes)
+        else:
+            self.ues[ue].ul_buffer = int(n_bytes)
+
+    # ------------------------------------------------------------- feedback
+
+    def harq_feedback(self, ue: int, direction: str, harq_id: int, ack: bool):
+        h = self.harq_dl if direction == "DL" else self.harq_ul
+        return h.feedback(ue, harq_id, ack)
+
+    # ------------------------------------------------------------ scheduling
+
+    def _cqi(self, ue: int, direction: str) -> np.ndarray:
+        u = self.ues[ue]
+        return u.dl_cqi_rb if direction == "DL" else u.ul_cqi_rb
+
+    def _buffer(self, ue: int, direction: str) -> int:
+        u = self.ues[ue]
+        return u.dl_buffer if direction == "DL" else u.ul_buffer
+
+    def _rbg_prbs(self, g: int) -> tuple:
+        return tuple(range(g * self.rbg, min((g + 1) * self.rbg, self.n_rb)))
+
+    def _achievable_bits(self, ue: int, direction: str, prbs, n_sym=12) -> float:
+        cqi = self._cqi(ue, direction)
+        avg = int(round(float(np.mean(cqi[list(prbs)]))))
+        mcs = cqi_to_mcs(avg, self.mcs_table)
+        mod, rate, eff = mcs_info(mcs, self.mcs_table)
+        rank = self.ues[ue].dl_rank if direction == "DL" else self.ues[ue].ul_rank
+        return eff * rank * len(prbs) * 12 * n_sym
+
+    def schedule_slot(self, slot: int, direction: str, n_sym: int = 14, sym_start: int = 0) -> list:
+        """Assign RBGs for one TX slot. Returns list[Grant].
+
+        Order per schedulerEntity.m: retransmissions first on best-CQI free
+        RBGs (:1687-1875), then the per-RBG strategy loop for new TX
+        (:1876-2146) with RB-allocation-limit eligibility pruning.
+        """
+        harq = self.harq_dl if direction == "DL" else self.harq_ul
+        free = np.ones(self.n_rbgs, bool)
+        grants: list[Grant] = []
+
+        # ---- retransmissions first
+        for ue in range(self.n_ues):
+            for pid in np.nonzero(harq.need_retx[ue])[0]:
+                need_prbs = int(harq.n_prb[ue, pid])
+                need_rbgs = int(np.ceil(need_prbs / self.rbg))
+                if free.sum() < need_rbgs:
+                    continue
+                cqi = self._cqi(ue, direction)
+                rbg_cqi = np.array([
+                    np.mean(cqi[list(self._rbg_prbs(g))]) if free[g] else -1
+                    for g in range(self.n_rbgs)
+                ])
+                chosen = np.argsort(-rbg_cqi)[:need_rbgs]
+                prbs = tuple(sorted(p for g in chosen for p in self._rbg_prbs(g)))
+                # tbsCapability (:2794): same TBS must fit; same MCS + #PRBs ensures it
+                if len(prbs) < need_prbs:
+                    continue
+                prbs = prbs[:need_prbs]
+                free[chosen] = False
+                rv = harq.retx(ue, int(pid))
+                grants.append(Grant(
+                    rnti=self.ues[ue].rnti, ue=ue, direction=direction, slot=slot,
+                    prb_set=prbs, sym_start=sym_start, n_sym=n_sym,
+                    mcs=int(harq.mcs[ue, pid]), ndi=int(harq.ndi[ue, pid]), rv=rv,
+                    harq_id=int(pid), n_layers=1, is_retx=True,
+                    tbs=int(harq.tbs[ue, pid]),
+                ))
+
+        # ---- new transmissions: per-RBG strategy argmax
+        eligible = np.array([
+            self._buffer(u, direction) > 0 and harq.free_process(u) is not None
+            for u in range(self.n_ues)
+        ])
+        assign = np.full(self.n_rbgs, -1, np.int64)
+        rb_count = np.zeros(self.n_ues, np.int64)
+        planned_bytes = np.zeros(self.n_ues, np.float64)
+        for g in range(self.n_rbgs):
+            if not free[g] or not eligible.any():
+                continue
+            prbs = self._rbg_prbs(g)
+            metric = np.full(self.n_ues, -np.inf)
+            for ue in range(self.n_ues):
+                if not eligible[ue]:
+                    continue
+                if rb_count[ue] + len(prbs) > self.max_rb_per_ue:
+                    continue
+                # stop giving RBGs to UEs whose planned grant already covers buffer
+                if planned_bytes[ue] >= self._buffer(ue, direction) and rb_count[ue] > 0:
+                    continue
+                ach = self._achievable_bits(ue, direction, prbs, n_sym - 2)
+                if self.strategy == "PF":
+                    served = (self.ues[ue].served_dl if direction == "DL"
+                              else self.ues[ue].served_ul)
+                    metric[ue] = (ach / self.slot_dur) / max(served, 1.0)
+                elif self.strategy == "BestCQI":
+                    metric[ue] = float(np.mean(self._cqi(ue, direction)[list(prbs)]))
+                else:  # RR: distance after last served
+                    metric[ue] = -((ue - self._rr_last[direction] - 1) % self.n_ues)
+            best = int(np.argmax(metric))
+            if not np.isfinite(metric[best]):
+                continue
+            assign[g] = best
+            rb_count[best] += len(prbs)
+            planned_bytes[best] += self._achievable_bits(best, direction, prbs, n_sym - 2) / 8
+
+        # ---- build grants per scheduled UE
+        scheduled = sorted(set(assign[assign >= 0].tolist()))
+        for ue in scheduled:
+            prbs = tuple(sorted(
+                p for g in np.nonzero(assign == ue)[0] for p in self._rbg_prbs(g)
+            ))
+            cqi = self._cqi(ue, direction)
+            avg = int(round(float(np.mean(cqi[list(prbs)]))))
+            mcs = cqi_to_mcs(avg, self.mcs_table)
+            mod, rate, _ = mcs_info(mcs, self.mcs_table)
+            rank = self.ues[ue].dl_rank if direction == "DL" else self.ues[ue].ul_rank
+            rank = max(1, min(rank, 2))
+            pid = harq.free_process(ue)
+            n_re = max((n_sym - 2), 1) * 12  # DM-RS overhead approximation for TBS
+            tbs = nr_tbs(mod, rank, len(prbs), n_re, rate)
+            if tbs == 0:
+                continue
+            harq.new_tx(ue, pid, tbs, mcs, len(prbs), None)
+            grants.append(Grant(
+                rnti=self.ues[ue].rnti, ue=ue, direction=direction, slot=slot,
+                prb_set=prbs, sym_start=sym_start, n_sym=n_sym, mcs=mcs,
+                ndi=int(harq.ndi[ue, pid]), rv=0, harq_id=int(pid),
+                n_layers=rank, rank=rank,
+                pmi_sb=tuple(self.ues[ue].dl_pmi_sb.tolist()) if direction == "DL" else (),
+                tpmi=self.ues[ue].ul_tpmi if direction == "UL" else 0,
+                tbs=tbs,
+            ))
+            self._rr_last[direction] = ue
+
+        # ---- PF served-rate EWMA update (proportionalFair.m:88-109, 461-466)
+        if self.strategy == "PF":
+            w = self.pf_weight
+            served_now = {g.ue: g.tbs / self.slot_dur for g in grants}
+            for ue in range(self.n_ues):
+                cur = served_now.get(ue, 0.0)
+                u = self.ues[ue]
+                if direction == "DL":
+                    u.served_dl = (1 - w) * u.served_dl + w * cur
+                else:
+                    u.served_ul = (1 - w) * u.served_ul + w * cur
+        return grants

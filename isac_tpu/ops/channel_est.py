@@ -97,22 +97,35 @@ def estimate_channel_dmrs(
     ports: tuple,
     dmrs_sym: tuple,
     freq_window: int = 7,
+    prb_set: tuple | None = None,
 ):
-    """Practical DM-RS channel estimator.
+    """Practical DM-RS channel estimator. prb_set overrides the contiguous
+    (n_prb, prb_start) allocation for RBG-bitmap grants.
 
     Returns (H [n_sym, n_sc, n_rx, n_ports], noise_var scalar estimate).
     """
-    from isac_tpu.ops.dmrs import dmrs_re_indices, dmrs_sequence
+    from isac_tpu.ops.dmrs import (
+        dmrs_re_indices,
+        dmrs_re_indices_prbs,
+        dmrs_sequence,
+        dmrs_values_for_prbs,
+    )
 
     n_rx, n_sym, n_sc = rx_grid.shape
     sym_idx = np.asarray(dmrs_sym)
     h_ports = []
     noise_acc = []
     for port in ports:
-        sc_idx = dmrs_re_indices(n_prb, prb_start, port)
-        refs = np.stack(
-            [dmrs_sequence(slot, int(l), n_id, n_prb, prb_start) for l in sym_idx]
-        )  # [n_dmrs_sym, n_pilot]
+        if prb_set is not None:
+            sc_idx = dmrs_re_indices_prbs(tuple(prb_set), port)
+            refs = np.stack(
+                [dmrs_values_for_prbs(slot, int(l), n_id, tuple(prb_set)) for l in sym_idx]
+            )
+        else:
+            sc_idx = dmrs_re_indices(n_prb, prb_start, port)
+            refs = np.stack(
+                [dmrs_sequence(slot, int(l), n_id, n_prb, prb_start) for l in sym_idx]
+            )  # [n_dmrs_sym, n_pilot]
         pilots = rx_grid[:, jnp.asarray(sym_idx)][:, :, jnp.asarray(sc_idx)]
         ls = pilots * jnp.conj(jnp.asarray(refs.astype(np.complex64)))[None]
         # per-port OCC decode over k' pairs (ports even: +, odd: -)

@@ -65,6 +65,45 @@ def dmrs_re_indices(n_prb: int, prb_start: int, port: int) -> np.ndarray:
     return k + 12 * prb_start
 
 
+def dmrs_values_for_prbs(slot: int, symbol: int, n_id: int, prb_set: tuple,
+                         n_scid: int = 0) -> np.ndarray:
+    """Sequence values for an arbitrary PRB set (6 values per PRB, CRB-0 ref)."""
+    max_prb = max(prb_set) + 1
+    r = dmrs_sequence(slot, symbol, n_id, max_prb, 0, n_scid)
+    return np.concatenate([r[6 * p : 6 * p + 6] for p in prb_set])
+
+
+def dmrs_re_indices_prbs(prb_set: tuple, port: int) -> np.ndarray:
+    """Port DM-RS subcarriers over an arbitrary PRB set (type 1)."""
+    delta = port // 2
+    ks = []
+    for p in prb_set:
+        ks.append(12 * p + np.array([0, 2, 4, 6, 8, 10]) + delta)
+    return np.concatenate(ks)
+
+
+def dmrs_fill_grid_prbs(
+    grid: np.ndarray,
+    slot: int,
+    n_id: int,
+    prb_set: tuple,
+    ports: tuple,
+    symbols: tuple,
+    power_scale: float = 1.0,
+):
+    """dmrs_fill_grid for an arbitrary PRB set (RBG-bitmap allocations)."""
+    n_sym, n_sc = grid.shape[-2:]
+    mask = np.zeros((n_sym, n_sc), bool)
+    for l in symbols:
+        r = dmrs_values_for_prbs(slot, l, n_id, prb_set)
+        for pi, port in enumerate(ports):
+            k = dmrs_re_indices_prbs(prb_set, port)
+            grid[pi, l, k] = dmrs_port_values(r, port) * power_scale
+        for delta in (0, 1):
+            mask[l, dmrs_re_indices_prbs(prb_set, 2 * delta)] = True
+    return grid, mask
+
+
 def dmrs_fill_grid(
     grid: np.ndarray,
     slot: int,

@@ -17,7 +17,7 @@ import numpy as np
 
 from isac_tpu.ops import transport
 from isac_tpu.ops.channel_est import estimate_channel_dmrs, mmse_equalize
-from isac_tpu.ops.dmrs import dmrs_fill_grid, dmrs_symbols
+from isac_tpu.ops.dmrs import dmrs_fill_grid_prbs, dmrs_symbols
 from isac_tpu.ops.modulation import (
     MODULATION_ORDERS,
     demodulate_llr,
@@ -51,6 +51,13 @@ class SCHGrant:
     n_sc_grid: int = 612  # full carrier width
     direction: str = "DL"  # 'DL' | 'UL'
     reserved_sc: tuple = ()  # extra reserved (symbol, subcarrier) pairs, e.g. CSI-RS
+    prb_set: tuple = ()  # non-contiguous allocation (RBG bitmap); overrides start/n_prb
+
+    @property
+    def prbs(self) -> tuple:
+        if self.prb_set:
+            return tuple(self.prb_set)
+        return tuple(range(self.prb_start, self.prb_start + self.n_prb))
 
     @property
     def modulation(self) -> str:
@@ -70,21 +77,22 @@ def grant_layout(grant: SCHGrant):
     """Host-precomputed RE layout: (data_sym_idx, data_sc_idx [N], dmrs_syms,
     n_data_re, tbs, sch_cfg)."""
     dsyms = dmrs_symbols("A", grant.dmrs_add_pos)
-    dmrs_mask = np.zeros((14, grant.n_sc_grid), bool)
+    prbs = grant.prbs
+    n_prb = len(prbs)
     ports = tuple(range(grant.n_layers))
     tmp = np.zeros((max(grant.n_layers, 1), 14, grant.n_sc_grid), np.complex64)
-    _, dmrs_mask = dmrs_fill_grid(tmp, 0, grant.n_id, grant.n_prb, grant.prb_start, ports, dsyms)
+    _, dmrs_mask = dmrs_fill_grid_prbs(tmp, 0, grant.n_id, prbs, ports, dsyms)
     alloc = np.zeros((14, grant.n_sc_grid), bool)
-    sc0 = grant.prb_start * 12
-    alloc[grant.sym_start : grant.sym_start + grant.n_sym, sc0 : sc0 + grant.n_prb * 12] = True
+    for p in prbs:
+        alloc[grant.sym_start : grant.sym_start + grant.n_sym, 12 * p : 12 * p + 12] = True
     data_mask = alloc & ~dmrs_mask
     for s, k in grant.reserved_sc:
         data_mask[s, k] = False
     sym_idx, sc_idx = np.nonzero(data_mask)
     n_re = sym_idx.shape[0]
-    n_re_per_prb = n_re // grant.n_prb
+    n_re_per_prb = n_re // n_prb
     tbs = transport.nr_tbs(
-        grant.modulation, grant.n_layers, grant.n_prb, n_re_per_prb, grant.code_rate
+        grant.modulation, grant.n_layers, n_prb, n_re_per_prb, grant.code_rate
     )
     g = n_re * grant.qm * grant.n_layers
     cfg = transport.sch_config(tbs, grant.code_rate, grant.qm, grant.n_layers, g)
@@ -137,9 +145,8 @@ def sch_transmit(
     layer_grid = layer_grid.at[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)].set(x)
     # DM-RS per layer (antenna-port domain = layer domain pre-precoding)
     dm = np.zeros((grant.n_layers, 14, grant.n_sc_grid), np.complex64)
-    dm, _ = dmrs_fill_grid(
-        dm, grant.slot, grant.n_id, grant.n_prb, grant.prb_start,
-        tuple(range(grant.n_layers)), dsyms,
+    dm, _ = dmrs_fill_grid_prbs(
+        dm, grant.slot, grant.n_id, grant.prbs, tuple(range(grant.n_layers)), dsyms,
     )
     layer_grid = layer_grid + jnp.asarray(dm)
     if w is None:
@@ -148,7 +155,8 @@ def sch_transmit(
         port_grid = jnp.einsum("pl,lsk->psk", w, layer_grid,
                                preferred_element_type=jnp.complex64)
     else:
-        port_grid = prg_precode(layer_grid, w, grant.prb_start, prg_size)
+        # full-width grid: absolute PRG ids; w covers ceil(n_rb_total/prg_size)
+        port_grid = prg_precode(layer_grid, w, 0, prg_size)
     if extra_grid is not None:
         port_grid = port_grid + extra_grid
     return port_grid, {"tbs": tbs, "g": cfg.g, "cfg": cfg}
@@ -168,7 +176,7 @@ def sch_receive(
     sym_idx, sc_idx, dsyms, n_re, tbs, cfg = grant_layout(grant)
     h, nvar = estimate_channel_dmrs(
         rx_grid, grant.slot, grant.n_id, grant.n_prb, grant.prb_start,
-        tuple(range(grant.n_layers)), dsyms,
+        tuple(range(grant.n_layers)), dsyms, prb_set=grant.prbs,
     )
     eq, sinr = mmse_equalize(rx_grid, h, nvar)
     data = eq[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]  # [L, n_re]
