@@ -57,15 +57,21 @@ def precoded_sinr(h: jnp.ndarray, w: jnp.ndarray, nvar: float) -> jnp.ndarray:
 
     h [..., n_rx, n_ports], w [n_cw, n_ports, n_layers] ->
     sinr [n_cw, ..., n_layers] (linear). LMMSE formulation of precodedSINR.m.
+
+    Numerically stable variant: SINR_l = 1/[(I + Hᴴ_eff H_eff / nvar)⁻¹]_ll - 1.
+    (The textbook mu/(1-mu) form cancels catastrophically in float32 above
+    ~60 dB SNR — the inverse diagonal is read directly instead.)
     """
     heff = jnp.einsum("...rp,cpl->c...rl", h, w, preferred_element_type=jnp.complex64)
     hh = jnp.conj(jnp.swapaxes(heff, -1, -2))
-    a = jnp.einsum("...lr,...rm->...lm", hh, heff)
+    a = jnp.einsum("...lr,...rm->...lm", hh, heff) / nvar
     n_layers = w.shape[-1]
-    a_reg = a + nvar * jnp.eye(n_layers, dtype=a.dtype)
-    ainv_a = jnp.linalg.solve(a_reg, a)
-    mu = jnp.clip(jnp.real(jnp.diagonal(ainv_a, axis1=-2, axis2=-1)), 1e-9, 1 - 1e-9)
-    return mu / (1.0 - mu)
+    eye = jnp.eye(n_layers, dtype=a.dtype)
+    b = a + eye
+    binv = jnp.linalg.solve(b, jnp.broadcast_to(eye, b.shape))
+    d = jnp.clip(jnp.real(jnp.diagonal(binv, axis1=-2, axis2=-1)), 1e-12, 1.0)
+    sinr = 1.0 / d - 1.0
+    return jnp.where(jnp.isfinite(sinr), jnp.maximum(sinr, 0.0), 0.0)
 
 
 def ri_select(h: jnp.ndarray, nvar: float, max_rank: int = 4) -> jnp.ndarray:

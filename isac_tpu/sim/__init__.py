@@ -1,0 +1,7 @@
+"""Simulation engine (L7): per-cell slot loop + network orchestration
+(+simulation/ in the reference; SURVEY §2.7)."""
+
+from isac_tpu.sim.cell import CellSimulator
+from isac_tpu.sim.network import network_simulation, resolve_los
+
+__all__ = ["CellSimulator", "network_simulation", "resolve_los"]
