@@ -98,9 +98,10 @@ class RadarConfig:
     est_algorithm: str = "FFT"  # 'FFT' | 'MUSIC' (the reference configures but ignores this)
     cfar_guard: tuple = (2, 2)
     cfar_training: tuple = (1, 1)
-    # DoA scan sector (radarParams.m:121-125; "normally set to 120°" for a ULA,
-    # which is mirror-ambiguous outside +-90)
-    azimuth_scan: tuple = (120.0, 1.0)  # (scale deg, granularity deg)
+    # DoA scan sector (radarParams.m:121-125). A ULA is unambiguous only over
+    # +-90 deg (mirror az <-> 180-az): scan the full unambiguous front sector
+    # and fold truth azimuths in RMSE scoring (ops/sensing/metrics.py).
+    azimuth_scan: tuple = (180.0, 1.0)  # (scale deg, granularity deg)
     elevation_scan: tuple = (180.0, 1.0)
 
 

@@ -45,7 +45,10 @@ def _scan_grid(antenna, wavelength: float, az_scan: tuple, el_scan: tuple, is_up
         a = steering_vector(antenna, wavelength, az_g.ravel(), el_g.ravel())
         return a, az_g.ravel(), el_g.ravel()
     a = steering_vector(antenna, wavelength, azs, np.zeros_like(azs))
-    return a, azs, np.zeros_like(azs)
+    # A 1D ULA has no elevation aperture: report NaN, never a fake 0 deg
+    # (the reference scores its ULA elevation against 0 — a known quirk we
+    # deliberately do not replicate, SURVEY §7.4 #8 / VERDICT r1 Weak #2).
+    return a, azs, np.full_like(azs, np.nan)
 
 
 def estimate_num_targets(eigvals: jnp.ndarray, max_targets: int) -> jnp.ndarray:

@@ -11,7 +11,17 @@ from __future__ import annotations
 
 import numpy as np
 
+from isac_tpu.config.params import ULA
 from isac_tpu.ops.sensing.radar_params import RadarDerived
+
+
+def _fold_ula_azimuth(az_deg: np.ndarray) -> np.ndarray:
+    """Fold an azimuth into a ULA's unambiguous sector [-90, 90] deg.
+
+    A 1D ULA only observes sin(az): angles az and 180-az are physically
+    indistinguishable (mirror ambiguity). Errors are scored in the folded
+    domain so a correct mirror estimate is not penalized by ~180 deg."""
+    return np.degrees(np.arcsin(np.clip(np.sin(np.radians(az_deg)), -1.0, 1.0)))
 
 
 def get_rmse(est: dict, params: RadarDerived) -> dict:
@@ -25,6 +35,9 @@ def get_rmse(est: dict, params: RadarDerived) -> dict:
     azi_est = np.asarray(est.get("aziEst", np.full_like(rng_est, np.nan)), dtype=np.float64)
     ele_est = np.asarray(est.get("eleEst", np.full_like(rng_est, np.nan)), dtype=np.float64)
     valid = np.isfinite(rng_est)
+    is_ula = isinstance(params.antenna, ULA)
+    if is_ula:
+        azi_est = _fold_ula_azimuth(azi_est)
 
     truth = params.truth
     matches = []
@@ -40,12 +53,13 @@ def get_rmse(est: dict, params: RadarDerived) -> dict:
         if best is not None and best_err <= params.r_res * 2.0:  # match threshold
             used.add(best)
             t = truth[best]
+            t_azi = _fold_ula_azimuth(t["Azimuth"]) if is_ula else t["Azimuth"]
             matches.append(
                 {
                     "det": int(i),
                     "rngErr": rng_est[i] - t["Range"],
                     "velErr": (vel_est[i] - t["Velocity"]) if np.isfinite(vel_est[i]) else np.nan,
-                    "aziErr": (azi_est[i] - t["Azimuth"]) if np.isfinite(azi_est[i]) else np.nan,
+                    "aziErr": (azi_est[i] - t_azi) if np.isfinite(azi_est[i]) else np.nan,
                     "eleErr": (ele_est[i] - t["Elevation"]) if np.isfinite(ele_est[i]) else np.nan,
                 }
             )

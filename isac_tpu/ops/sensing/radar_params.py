@@ -69,9 +69,12 @@ def steering_vector(antenna, wavelength: float, az_deg, el_deg) -> np.ndarray:
         a = a.reshape(antenna.n_v * antenna.n_h, *np.shape(az))
         reps = antenna.polarizations * antenna.n_pv * antenna.n_ph
         return np.concatenate([a] * reps, axis=0)
-    # ULA (radarParams.m:107-118): element positions m*d, phase by azimuth only
+    # ULA (radarParams.m:107-118): element positions m*d, phase by azimuth only.
+    # Cross-polarized pairs are CO-LOCATED: a 2-pol ULA with n_v positions has
+    # n_v distinct phase centers repeated per polarization (aperture = n_v*d,
+    # NOT num_elements*d — the polarization dimension adds no spatial aperture).
     d = antenna.element_spacing(wavelength)
-    m = np.arange(antenna.num_elements)[:, None] * d
+    m = np.repeat(np.arange(antenna.n_v), antenna.polarizations)[:, None] * d
     return np.exp(2j * np.pi * m * np.sin(az)[None, ...] / wavelength)
 
 

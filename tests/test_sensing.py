@@ -168,6 +168,60 @@ def test_doa_methods_two_sources(method):
         assert np.nanmin(np.abs(az_est - t)) < 3.0, f"{method}: {az_est} vs {t}"
 
 
+def test_doa_two_pol_ula():
+    """Shipped-scenario antenna (8x2-pol ULA): co-located pol pairs must give an
+    8-position aperture; azimuth recovered within the scan resolution (r1
+    VERDICT Weak #2 regression test)."""
+    gnb = GNBParams(
+        dl_bandwidth=20e6, ul_bandwidth=20e6, scs_khz=30,
+        antenna=ULA(n_v=8, polarizations=2), tx_power_dbm=44.0,
+    )
+    carrier = gnb.carrier
+    p = derive_radar_params(
+        gnb, carrier, np.array([[100.0, 58.0, 1.5]]), np.array([1.0]),
+        np.array([5.0]), 8,
+    )
+    # steering: 16 entries but only n_v=8 distinct phase centers (pairs equal)
+    lam = SPEED_OF_LIGHT / p.fc
+    a = steering_vector(gnb.antenna, lam, np.array([25.0]), np.array([0.0]))
+    assert a.shape[0] == 16
+    np.testing.assert_allclose(a[0::2], a[1::2])
+    az_true = 30.0
+    a1 = steering_vector(gnb.antenna, lam, np.array([az_true]), np.array([0.0]))
+    rng = np.random.default_rng(4)
+    n_snap = 256
+    s = (rng.standard_normal((1, n_snap)) + 1j * rng.standard_normal((1, n_snap))) / np.sqrt(2)
+    x = a1 @ s + 0.01 * (
+        rng.standard_normal((16, n_snap)) + 1j * rng.standard_normal((16, n_snap))
+    )
+    ra = jnp.asarray((x @ x.conj().T / n_snap).astype(np.complex64))
+    out = music_doa(ra, p, max_targets=2, num_det_static=1)
+    az_est = np.asarray(out["azEst"])
+    assert np.nanmin(np.abs(az_est - az_true)) < 2.0, az_est
+    # a ULA reports NaN elevation, never a fake 0
+    assert np.all(~np.isfinite(np.asarray(out["elEst"])))
+
+
+def test_ula_azimuth_mirror_folding():
+    """A target behind the array's +-90 sector scores against the folded angle."""
+    from isac_tpu.ops.sensing.metrics import _fold_ula_azimuth
+
+    assert abs(_fold_ula_azimuth(135.0) - 45.0) < 1e-9
+    assert abs(_fold_ula_azimuth(-135.0) - (-45.0)) < 1e-9
+    assert abs(_fold_ula_azimuth(60.0) - 60.0) < 1e-9
+    gnb, carrier, p = small_setup(pos=((-100.0, 100.0, 1.5),), vel=(5.0,))  # az=135
+    est = {
+        "rngEst": np.array([p.range_m[0]]),
+        "velEst": np.array([5.0]),
+        "aziEst": np.array([45.0]),  # the mirror estimate a ULA produces
+        "eleEst": np.array([np.nan]),
+    }
+    rep = get_rmse(est, p)
+    assert rep["numMatched"] == 1
+    assert rep["aziRMSE"] < 1e-6
+    assert np.isnan(rep["eleRMSE"])
+
+
 def test_spatial_covariance_shape_and_hermitian():
     rng = np.random.default_rng(3)
     g = jnp.asarray((rng.standard_normal((4, 14, 24)) + 1j * rng.standard_normal((4, 14, 24))
