@@ -58,6 +58,10 @@ class UEContext:
     ul_buffer: int = 0  # bytes (from BSR)
     served_dl: float = 1.0  # PF EWMA (bits/s)
     served_ul: float = 1.0
+    # outer-loop link adaptation margin in CQI steps (target BLER 0.1):
+    # NACK -> +step, ACK -> -step/9; closes any CSI-vs-delivered calibration gap
+    olla_dl: float = 0.0
+    olla_ul: float = 0.0
 
 
 class Scheduler:
@@ -122,9 +126,29 @@ class Scheduler:
 
     # ------------------------------------------------------------- feedback
 
+    OLLA_STEP = 1.0  # CQI steps per NACK
+    OLLA_TARGET_BLER = 0.1
+    OLLA_MAX = 10.0
+    RANK_DEMOTE_MARGIN = 4.0  # demote to rank 1 when the loop backs off this far
+    MAX_MCS = 27  # rate-0.926 MCS 28 exceeds the current LDPC tables' usable rate
+
     def harq_feedback(self, ue: int, direction: str, harq_id: int, ack: bool):
+        # outer-loop link adaptation (the reference relies on its BLER-0.1
+        # SINR->CQI tables alone; an explicit outer loop additionally absorbs
+        # receiver-implementation loss and CSI aging)
+        u = self.ues[ue]
+        step = self.OLLA_STEP
+        delta = -step * self.OLLA_TARGET_BLER / (1 - self.OLLA_TARGET_BLER) if ack else step
+        if direction == "DL":
+            u.olla_dl = float(np.clip(u.olla_dl + delta, -2.0, self.OLLA_MAX))
+        else:
+            u.olla_ul = float(np.clip(u.olla_ul + delta, -2.0, self.OLLA_MAX))
         h = self.harq_dl if direction == "DL" else self.harq_ul
         return h.feedback(ue, harq_id, ack)
+
+    def _olla(self, ue: int, direction: str) -> float:
+        u = self.ues[ue]
+        return u.olla_dl if direction == "DL" else u.olla_ul
 
     # ------------------------------------------------------------ scheduling
 
@@ -139,12 +163,25 @@ class Scheduler:
     def _rbg_prbs(self, g: int) -> tuple:
         return tuple(range(g * self.rbg, min((g + 1) * self.rbg, self.n_rb)))
 
-    def _achievable_bits(self, ue: int, direction: str, prbs, n_sym=12) -> float:
+    def _pick_mcs(self, ue: int, direction: str, prbs) -> int:
+        """CQI average over the allocation minus the outer-loop margin -> MCS."""
         cqi = self._cqi(ue, direction)
-        avg = int(round(float(np.mean(cqi[list(prbs)]))))
-        mcs = cqi_to_mcs(avg, self.mcs_table)
+        avg = float(np.mean(cqi[list(prbs)])) - self._olla(ue, direction)
+        return min(cqi_to_mcs(int(round(avg)), self.mcs_table), self.MAX_MCS)
+
+    def _pick_rank(self, ue: int, direction: str) -> int:
+        """Reported rank, demoted to 1 when the outer loop has backed off far
+        (persistent rank-2 failure means the CSI rank is optimistic)."""
+        u = self.ues[ue]
+        rank = u.dl_rank if direction == "DL" else u.ul_rank
+        if self._olla(ue, direction) >= self.RANK_DEMOTE_MARGIN:
+            return 1
+        return max(1, min(rank, 2))
+
+    def _achievable_bits(self, ue: int, direction: str, prbs, n_sym=12) -> float:
+        mcs = self._pick_mcs(ue, direction, prbs)
         mod, rate, eff = mcs_info(mcs, self.mcs_table)
-        rank = self.ues[ue].dl_rank if direction == "DL" else self.ues[ue].ul_rank
+        rank = self._pick_rank(ue, direction)
         return eff * rank * len(prbs) * 12 * n_sym
 
     def schedule_slot(self, slot: int, direction: str, n_sym: int = 14, sym_start: int = 0) -> list:
@@ -229,12 +266,9 @@ class Scheduler:
             prbs = tuple(sorted(
                 p for g in np.nonzero(assign == ue)[0] for p in self._rbg_prbs(g)
             ))
-            cqi = self._cqi(ue, direction)
-            avg = int(round(float(np.mean(cqi[list(prbs)]))))
-            mcs = cqi_to_mcs(avg, self.mcs_table)
+            mcs = self._pick_mcs(ue, direction, prbs)
             mod, rate, _ = mcs_info(mcs, self.mcs_table)
-            rank = self.ues[ue].dl_rank if direction == "DL" else self.ues[ue].ul_rank
-            rank = max(1, min(rank, 2))
+            rank = self._pick_rank(ue, direction)
             pid = harq.free_process(ue)
             n_re = max((n_sym - 2), 1) * 12  # DM-RS overhead approximation for TBS
             tbs = nr_tbs(mod, rank, len(prbs), n_re, rate)

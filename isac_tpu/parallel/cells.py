@@ -1,0 +1,65 @@
+"""Cell-axis sharding with inter-cell interference via collectives.
+
+The reference fans cells out to parfeval workers that share NOTHING — cells
+never interfere across workers (networkSimulation.m:44-55; the
+packetDistribution bus matches carriers only within one process,
+packetDistribution.m:46-124). Here the multi-cell downlink step is one SPMD
+program: each device owns a cell shard, transmit grids are exchanged with an
+all_gather over the `cell` axis, and every receiver sums ALL co-channel
+signals — serving + interference — exactly like phyRxBuffer.m:137-228 does for
+intra-cell overlaps, but across the whole network.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def _rx_from_all(tx_all, h_col, gain_col, noise):
+    """rx_c = sum_{c'} gain[c'] * H[c'] tx[c'] + noise for one destination cell.
+
+    tx_all [C, n_tx, S, K]; h_col [C, S, K, n_rx, n_tx] (source-indexed channel
+    INTO this cell); gain_col [C] amplitude (pathloss/rx-gain, 0 = off-channel).
+    """
+    rx = jnp.einsum(
+        "ctsk,cskat,c->ask", tx_all, h_col, gain_col.astype(tx_all.dtype),
+        preferred_element_type=jnp.complex64,
+    )
+    return rx + noise
+
+
+def network_dl_step_reference(tx_grids, h_cross, gains, noise):
+    """Serial reference: tx_grids [C, n_tx, S, K], h_cross [C_src, C_dst, S, K,
+    n_rx, n_tx], gains [C_src, C_dst], noise [C_dst, n_rx, S, K] ->
+    rx [C_dst, n_rx, S, K]."""
+    return jax.vmap(_rx_from_all, in_axes=(None, 1, 1, 0))(
+        tx_grids, h_cross, gains, noise
+    )
+
+
+def network_dl_step(mesh: Mesh, axis: str = "cell"):
+    """shard_map'd version: destination cells sharded over `axis`; transmit
+    grids all_gathered so every shard sees every co-channel transmitter.
+
+    Returns jitted fn(tx_grids, h_cross, gains, noise) with tx_grids/noise
+    sharded on their cell axis, h_cross/gains sharded on the DESTINATION axis.
+    """
+
+    def step(tx_local, h_col_local, gains_local, noise_local):
+        # [C/d, n_tx, S, K] -> [C, n_tx, S, K] on every shard (ICI all-gather)
+        tx_all = jax.lax.all_gather(tx_local, axis, tiled=True)
+        return jax.vmap(_rx_from_all, in_axes=(None, 1, 1, 0))(
+            tx_all, h_col_local, gains_local, noise_local
+        )
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis), P(None, axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -72,6 +72,18 @@ class SCHGrant:
         return MODULATION_ORDERS[self.modulation]
 
 
+def dmrs_ports(n_layers: int) -> tuple:
+    """Layer -> DM-RS antenna port mapping.
+
+    Layers 1-2 use ports (0, 2) — one per CDM group, on DISJOINT combs — so
+    co-scheduled layers never share an FD-OCC pair and channel estimation has
+    zero cross-layer leakage (spec-valid: ports 1000+1002; both CDM groups'
+    REs are data-blocked anyway with numCDMGroupsWithoutData=2, so the pilot
+    separation is free). Ranks 3-4 add the OCC partners (1, 3).
+    """
+    return ((0,), (0, 2), (0, 2, 1), (0, 2, 1, 3))[n_layers - 1]
+
+
 @lru_cache(maxsize=512)
 def grant_layout(grant: SCHGrant):
     """Host-precomputed RE layout: (data_sym_idx, data_sc_idx [N], dmrs_syms,
@@ -79,7 +91,7 @@ def grant_layout(grant: SCHGrant):
     dsyms = dmrs_symbols("A", grant.dmrs_add_pos)
     prbs = grant.prbs
     n_prb = len(prbs)
-    ports = tuple(range(grant.n_layers))
+    ports = dmrs_ports(grant.n_layers)
     tmp = np.zeros((max(grant.n_layers, 1), 14, grant.n_sc_grid), np.complex64)
     _, dmrs_mask = dmrs_fill_grid_prbs(tmp, 0, grant.n_id, prbs, ports, dsyms)
     alloc = np.zeros((14, grant.n_sc_grid), bool)
@@ -146,7 +158,7 @@ def sch_transmit(
     # DM-RS per layer (antenna-port domain = layer domain pre-precoding)
     dm = np.zeros((grant.n_layers, 14, grant.n_sc_grid), np.complex64)
     dm, _ = dmrs_fill_grid_prbs(
-        dm, grant.slot, grant.n_id, grant.prbs, tuple(range(grant.n_layers)), dsyms,
+        dm, grant.slot, grant.n_id, grant.prbs, dmrs_ports(grant.n_layers), dsyms,
     )
     layer_grid = layer_grid + jnp.asarray(dm)
     if w is None:
@@ -167,6 +179,7 @@ def sch_receive(
     grant: SCHGrant,
     soft_buffers: jnp.ndarray | None = None,
     n_ldpc_iter: int = 6,
+    prg_size: int = 2,
 ):
     """Receiver: DM-RS channel estimate (effective channel incl. precoder) ->
     MMSE -> LLR -> descramble -> SCH decode.
@@ -174,9 +187,20 @@ def sch_receive(
     Returns dict: tb, crc_ok, soft_buffers, sinr_db (mean post-eq), noise_var.
     """
     sym_idx, sc_idx, dsyms, n_re, tbs, cfg = grant_layout(grant)
+    # estimation-noise vs tracking-bias tradeoff: the scheduled MCS is the
+    # receiver's SNR proxy. High MCS needs low estimation bias -> per-bundle
+    # DFT (trigonometric) fit from raw pilots; low MCS needs noise averaging
+    # -> pair decode + window-7 smoothing + linear interpolation.
+    use_dft = grant.mcs >= 8
+    # DL uses PRG-bundled precoding: the effective channel is discontinuous at
+    # PRG boundaries, so estimation must not mix pilots across bundles. UL
+    # precoding is wideband (single TPMI matrix) — no bundling constraint.
+    bundle = prg_size * 12 if grant.direction == "DL" else None
     h, nvar = estimate_channel_dmrs(
         rx_grid, grant.slot, grant.n_id, grant.n_prb, grant.prb_start,
-        tuple(range(grant.n_layers)), dsyms, prb_set=grant.prbs,
+        dmrs_ports(grant.n_layers), dsyms, prb_set=grant.prbs,
+        freq_window=1 if use_dft else 7, bundle_sc=bundle,
+        interp="dft" if use_dft else "linear",
     )
     eq, sinr = mmse_equalize(rx_grid, h, nvar)
     data = eq[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]  # [L, n_re]

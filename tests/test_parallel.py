@@ -1,0 +1,124 @@
+"""Multi-device SPMD tests on the 8-way virtual CPU mesh (conftest.py):
+sharded results must match the single-device reference (VERDICT r1 #4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isac_tpu.ops.cdl import build_cdl_link
+from isac_tpu.ops.sensing.rdm import range_doppler_map
+from isac_tpu.parallel import (
+    batched_frequency_response,
+    make_mesh,
+    make_sharded_link_step,
+    network_dl_step,
+    network_dl_step_reference,
+    range_doppler_map_sharded,
+    stack_links,
+)
+from isac_tpu.phy.chains import SCHGrant, grant_tbs
+
+
+requires_8dev = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mk_links(n, n_tx=4, n_rx=2, fc=3.5e9):
+    lam = 3e8 / fc
+    tx = np.stack([np.zeros(n_tx), np.arange(n_tx) * 0.5 * lam, np.zeros(n_tx)], -1)
+    rx = np.stack([np.zeros(n_rx), np.arange(n_rx) * 0.5 * lam, np.zeros(n_rx)], -1)
+    profs = ["CDL-A", "CDL-D"]
+    return [
+        build_cdl_link(profs[i % 2], 300.0, fc, tx, rx, ue_velocity=1.0, seed=10 + i)
+        for i in range(n)
+    ]
+
+
+def test_stacked_links_match_per_link():
+    from isac_tpu.ops.cdl import cdl_frequency_response, subcarrier_freqs
+
+    links = _mk_links(3)
+    bl = stack_links(links)
+    t = np.arange(4) * 35.7e-6
+    freqs = subcarrier_freqs(48, 30e3)
+    hb = np.asarray(batched_frequency_response(bl, t, freqs))
+    for i, l in enumerate(links):
+        hi = np.asarray(cdl_frequency_response(l, t, freqs))
+        np.testing.assert_allclose(hb[i], hi, rtol=2e-4, atol=1e-5)
+
+
+@requires_8dev
+def test_sharded_link_step_matches_vmap():
+    mesh = make_mesh({"link": 8})
+    g = SCHGrant(n_prb=4, n_layers=1, mcs=10, n_sc_grid=48)
+    tbs = grant_tbs(g)
+    L = 8
+    rng = np.random.default_rng(0)
+    tb = jnp.asarray(rng.integers(0, 2, (L, tbs)).astype(np.int8))
+    links = _mk_links(L)
+    bl = stack_links(links)
+    t = np.arange(14) * 35.7e-6
+    from isac_tpu.ops.cdl import subcarrier_freqs
+
+    h = batched_frequency_response(bl, t, subcarrier_freqs(48, 30e3)) * 300.0
+    w = jnp.tile(jnp.asarray(np.eye(4, 1, dtype=np.complex64)), (L, 1, 1))
+    noise = jnp.asarray(
+        (rng.standard_normal((L, 2, 14, 48)) + 1j * rng.standard_normal((L, 2, 14, 48)))
+        .astype(np.complex64) * np.sqrt(0.5)
+    )
+    fn_serial, _ = make_sharded_link_step(g, mesh=None)
+    fn_shard, _ = make_sharded_link_step(g, mesh=mesh)
+    ref = fn_serial(tb, w, h, noise)
+    out = fn_shard(tb, w, h, noise)
+    np.testing.assert_array_equal(np.asarray(ref["crc_ok"]), np.asarray(out["crc_ok"]))
+    np.testing.assert_allclose(
+        np.asarray(ref["sinr_db"]), np.asarray(out["sinr_db"]), atol=1e-3
+    )
+    assert int(out["n_ok"]) == int(np.asarray(ref["crc_ok"]).sum())
+    assert int(out["n_ok"]) == L  # high SNR: all links decode
+
+
+@requires_8dev
+def test_network_interference_step_matches_serial():
+    mesh = make_mesh({"cell": 8})
+    C, n_tx, n_rx, S, K = 8, 2, 2, 4, 24
+    rng = np.random.default_rng(1)
+
+    def cplx(*shape):
+        return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+
+    tx = jnp.asarray(cplx(C, n_tx, S, K))
+    h = jnp.asarray(cplx(C, C, S, K, n_rx, n_tx))
+    gains = jnp.asarray(rng.uniform(0.0, 1.0, (C, C)).astype(np.float32))
+    noise = jnp.asarray(cplx(C, n_rx, S, K) * 0.1)
+    ref = network_dl_step_reference(tx, h, gains, noise)
+    out = network_dl_step(mesh)(tx, h, gains, noise)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4)
+    # interference is real: zeroing cross-gains changes the result
+    gains_diag = jnp.asarray(np.diag(np.diag(np.asarray(gains))).astype(np.float32))
+    iso = network_dl_step_reference(tx, h, gains_diag, noise)
+    assert not np.allclose(np.asarray(ref), np.asarray(iso))
+
+
+@requires_8dev
+def test_sharded_rdm_matches_serial():
+    mesh = make_mesh({"time": 8})
+    n_ants, n_sym, n_sc = 2, 56, 96
+    n_ifft, n_fft = 128, 64
+    rng = np.random.default_rng(2)
+
+    def cplx(*shape):
+        return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+
+    rx = jnp.asarray(cplx(n_ants, n_sym, n_sc))
+    tx = jnp.asarray(cplx(n_ants, n_sym, n_sc))
+    ref = np.asarray(range_doppler_map(rx, tx, n_ifft, n_fft))
+    fn = range_doppler_map_sharded(mesh, n_sym, n_sc, n_ifft, n_fft)
+    out = np.asarray(fn(rx, tx))
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
