@@ -33,4 +33,36 @@ import name is ``isac_tpu`` because a Python identifier cannot start with a digi
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache():
+    """Persist XLA executables across processes (ISAC_TPU_NO_COMPILE_CACHE=1
+    disables). Grant-layout kernels are compiled per (n_prb, mcs, rank)
+    signature; the cache makes repeated runs and the test suite pay that cost
+    once per machine instead of once per process."""
+    import os
+
+    if os.environ.get("ISAC_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        # XLA's CPU AOT loader logs a false-positive machine-feature mismatch
+        # for every cached executable (+prefer-no-scatter is a compile-time
+        # pseudo-feature, never a host feature); results are verified
+        # identical. Silence the C++ log unless the user overrides.
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+        if jax.config.jax_compilation_cache_dir is None:
+            path = os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "isac_tpu_xla",
+            )
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from isac_tpu.api import simulate  # noqa: F401

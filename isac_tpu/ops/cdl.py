@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -302,6 +303,28 @@ def build_cdl_link(
     )
 
 
+@jax.jit
+def _freq_response_jit(ft: jnp.ndarray, ff: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """ft [..., S, R] time phases, ff [..., K, R] freq phases, c2 [..., R, A]
+    -> H [..., S, K, A] (one fused contraction over rays; MXU-shaped)."""
+    ph = ft[..., :, None, :] * ff[..., None, :, :]
+    return jnp.einsum("...skr,...ra->...ska", ph, c2,
+                      preferred_element_type=jnp.complex64)
+
+
+def freq_phases(tau: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """exp(-2j pi f tau) [..., K, R] — precompute ONCE per link (float64 phase
+    on host: f*tau reaches ~100 cycles)."""
+    ang = -2.0 * np.pi * freqs.astype(np.float64)[..., :, None] * tau[..., None, :]
+    return np.exp(1j * ang).astype(np.complex64)
+
+
+def time_phases(nu: np.ndarray, t_syms: np.ndarray) -> np.ndarray:
+    """exp(2j pi nu t) [..., S, R] (nu*t stays tiny: float32-safe)."""
+    ang = 2.0 * np.pi * np.asarray(t_syms, np.float64)[..., :, None] * nu[..., None, :]
+    return np.exp(1j * ang).astype(np.complex64)
+
+
 def cdl_frequency_response(
     link: CDLLink, t_syms: np.ndarray | jnp.ndarray, freqs: np.ndarray
 ) -> jnp.ndarray:
@@ -313,11 +336,10 @@ def cdl_frequency_response(
     """
     n_rx, n_tx, n_rays = link.coeff.shape
     tt = np.asarray(t_syms, np.float64)
-    ft = np.exp(2j * np.pi * np.outer(tt, link.nu))  # [S, R]
-    ff = np.exp(-2j * np.pi * np.outer(freqs.astype(np.float64), link.tau))  # [K, R]
+    ft = jnp.asarray(time_phases(link.nu, tt))
+    ff = jnp.asarray(freq_phases(link.tau, np.asarray(freqs)))
     c2 = jnp.asarray(link.coeff.reshape(n_rx * n_tx, n_rays).T)  # [R, rx*tx]
-    ph = jnp.asarray((ft[:, None, :] * ff[None, :, :]).astype(np.complex64))  # [S, K, R]
-    h = jnp.einsum("skr,ra->ska", ph, c2, preferred_element_type=jnp.complex64)
+    h = _freq_response_jit(ft, ff, c2)
     return h.reshape(len(tt), len(freqs), n_rx, n_tx)
 
 

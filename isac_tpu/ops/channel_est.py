@@ -103,8 +103,86 @@ def interp_to_grid(
 from functools import lru_cache
 
 
+def estimate_channel_canonical(
+    rx_c: jnp.ndarray,  # [n_rx, 14, 12*n_prb] compact (allocated-PRB) grid
+    refs: jnp.ndarray,  # [n_dsym, 6*n_prb] base DM-RS sequence values
+    ports: tuple,
+    dsyms: tuple,
+    n_prb: int,
+    n_basis: int = 6,
+    prg_prbs: int = 2,
+):
+    """Fully shape-static DM-RS estimator on the canonical compact grid.
+
+    All pilot positions are PRB-relative constants; sequence values arrive as
+    traced data, so one compiled program serves every PRB allocation of a
+    given size. Estimation bundles are 2-PRB blocks (per-bundle half-period
+    DFT basis fit, see _dft_interp_matrix) with an odd-PRB tail bundle.
+
+    Returns (H [14, 12*n_prb, n_rx, n_ports], nvar scalar).
+    """
+    n_rx = rx_c.shape[0]
+    n_sym = rx_c.shape[1]
+    active = set(ports)
+    occ = jnp.asarray(np.tile(np.array([1.0, -1.0], np.float32), 3 * n_prb))
+    sym_j = jnp.asarray(np.asarray(dsyms, np.int32))
+    nb_full = n_prb // 2
+    tail = n_prb % 2
+    h_ports = []
+    nvar_candidates = []
+    for port in ports:
+        delta = port // 2
+        sc = (12 * np.repeat(np.arange(n_prb), 6)
+              + np.tile(np.array([0, 2, 4, 6, 8, 10]), n_prb) + delta)
+        pil = rx_c[:, sym_j][:, :, jnp.asarray(sc)]  # [n_rx, n_dsym, 6*n_prb]
+        ref_p = refs if port % 2 == 0 else refs * occ
+        ls = pil * jnp.conj(ref_p)[None]
+        e, o = ls[..., 0::2], ls[..., 1::2]
+        h_pair = (e + o) / 2.0 if port % 2 == 0 else (e - o) / 2.0
+        partner = port + 1 if port % 2 == 0 else port - 1
+        if partner not in active:
+            rej = (e - o) / 2.0 if port % 2 == 0 else (e + o) / 2.0
+            nvar_candidates.append(jnp.mean(jnp.abs(rej) ** 2) * 2.0)
+        if len(dsyms) >= 2:
+            td = h_pair[:, 1:] - h_pair[:, :-1]
+            nvar_candidates.append(jnp.mean(jnp.abs(td) ** 2))
+        if n_prb >= 1:
+            fp = h_pair.reshape(*h_pair.shape[:-1], -1, 3)
+            fd = fp[..., 0] - 2.0 * fp[..., 1] + fp[..., 2]
+            nvar_candidates.append(jnp.mean(jnp.abs(fd) ** 2) / 3.0)
+        if partner not in active:
+            src, per_prb, pat_off = ls, 6, np.array([0, 2, 4, 6, 8, 10])
+            nb_eff = n_basis
+        else:
+            # OCC pair decode (3 estimates/PRB at pair centers)
+            src, per_prb, pat_off = h_pair, 3, np.array([1, 5, 9])
+            nb_eff = min(n_basis, 3)
+        parts = []
+        if nb_full:
+            pat = tuple(np.concatenate([pat_off, pat_off + 12]) + delta)
+            m = jnp.asarray(_dft_interp_matrix(pat, 24, nb_eff))
+            xb = src[..., : nb_full * 2 * per_prb].reshape(
+                n_rx, len(dsyms), nb_full, 2 * per_prb
+            )
+            hb = jnp.einsum("kp,...bp->...bk", m, xb,
+                            preferred_element_type=jnp.complex64)
+            parts.append(hb.reshape(n_rx, len(dsyms), nb_full * 24))
+        if tail:
+            pat = tuple(pat_off + delta)
+            m = jnp.asarray(_dft_interp_matrix(pat, 12, min(nb_eff, 3)))
+            xt = src[..., nb_full * 2 * per_prb :]
+            parts.append(jnp.einsum("kp,...p->...k", m, xt,
+                                    preferred_element_type=jnp.complex64))
+        h_freq = jnp.concatenate(parts, axis=-1)  # [n_rx, n_dsym, 12*n_prb]
+        h_ports.append(_interp_time(h_freq, np.asarray(dsyms), n_sym))
+    h = jnp.stack(h_ports, axis=-1)  # [n_rx, n_sym, n_sc_c, n_ports]
+    h = jnp.transpose(h, (1, 2, 0, 3))
+    noise_var = jnp.maximum(jnp.min(jnp.stack(nvar_candidates)), 1e-10)
+    return h, noise_var
+
+
 @lru_cache(maxsize=256)
-def _dft_interp_matrix(pattern: tuple, width: int) -> np.ndarray:
+def _dft_interp_matrix(pattern: tuple, width: int, n_basis: int | None = None) -> np.ndarray:
     """LS trigonometric-interpolation matrix for one precoding bundle.
 
     pattern: pilot positions within the bundle (uniform 2-SC comb), width: the
@@ -115,7 +193,9 @@ def _dft_interp_matrix(pattern: tuple, width: int) -> np.ndarray:
     layers at ~-14 dB) AND reduces noise (interp row norms ~0.5).
     """
     p = np.asarray(pattern, np.float64)
-    n_basis = max(len(pattern) // 2, 2)
+    if n_basis is None:
+        n_basis = max(len(pattern) // 2, 2)
+    n_basis = max(min(n_basis, len(pattern)), 2)
     m = np.arange(n_basis)
     # period = 2*width: the basis is NON-periodic within the bundle window —
     # a periodic (period = width) basis wraps the fit and its edge error

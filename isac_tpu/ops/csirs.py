@@ -80,6 +80,51 @@ def csirs_fill_grid(
     raise NotImplementedError(f"CSI-RS row {row} not supported")
 
 
+def csirs_fdm_layout(n_ports: int, l0: int = 5) -> tuple:
+    """FDM CSI-RS resource for up to 24 ports: port p occupies one RE per PRB
+    at (symbol l0 + p//12, subcarrier-in-PRB p%12). Density 1, no CDM — the
+    simplest spec-shaped mapping that scales past row 5's 4 ports (the
+    reference measures only a 4-port channel through its ULA-16, setupCSIRS.m;
+    here the CSI sees the full array). Returns ((sym, sc_off), ...) per port."""
+    if n_ports > 24:
+        raise ValueError(f"FDM CSI-RS supports <= 24 ports, got {n_ports}")
+    return tuple((l0 + p // 12, p % 12) for p in range(n_ports))
+
+
+def csirs_fill_fdm(
+    slot: int, n_id: int, n_prb: int, n_ports: int, n_sc_grid: int, l0: int = 5
+) -> np.ndarray:
+    """Full-band FDM CSI-RS port grid [n_ports, 14, n_sc_grid] (host numpy)."""
+    grid = np.zeros((n_ports, 14, n_sc_grid), np.complex64)
+    prbs = np.arange(n_prb)
+    for p, (l, off) in enumerate(csirs_fdm_layout(n_ports, l0)):
+        r = csirs_sequence(slot, l, n_id, n_prb, offset=p * n_prb)
+        grid[p, l, prbs * 12 + off] = r
+    return grid
+
+
+def csirs_estimate_fdm(
+    rx_grid, slot: int, n_id: int, n_prb: int, n_ports: int, l0: int = 5
+):
+    """LS estimate at the FDM CSI-RS REs -> H [n_prb, n_rx, n_ports]."""
+    import jax.numpy as jnp
+
+    prbs = np.arange(n_prb)
+    hs = []
+    for p, (l, off) in enumerate(csirs_fdm_layout(n_ports, l0)):
+        r = csirs_sequence(slot, l, n_id, n_prb, offset=p * n_prb)
+        y = rx_grid[:, l, jnp.asarray(prbs * 12 + off)]  # [n_rx, n_prb]
+        hs.append(y * jnp.conj(jnp.asarray(r.astype(np.complex64))))
+    h = jnp.stack(hs, axis=-1)  # [n_rx, n_prb, n_ports]
+    return jnp.transpose(h, (1, 0, 2))
+
+
+def csirs_fdm_reserved(n_ports: int, l0: int = 5) -> tuple:
+    """Reserved (symbol, sc_offset) pattern for PDSCH rate-matching around the
+    FDM CSI-RS (gNBMAC.m:888-894 reserves CSI-RS REs in DL grants)."""
+    return csirs_fdm_layout(n_ports, l0)
+
+
 def csirs_estimate_ports(
     rx_grid: np.ndarray,  # jnp [n_rx, n_sym, n_sc]
     slot: int,

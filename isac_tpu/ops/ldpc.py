@@ -217,48 +217,78 @@ def _shift_idx(shifts: np.ndarray, z: int, inverse: bool = False) -> np.ndarray:
     return ((i - s) % z if inverse else (i + s) % z).astype(np.int32)
 
 
-def encode(code: LiftedCode, msg: jnp.ndarray) -> jnp.ndarray:
-    """Systematic QC-LDPC encode. msg [..., K] int -> codeword [..., n_full].
+@lru_cache(maxsize=32)
+def _encode_plan(bg: int, z: int):
+    """Precomputed gathers for the batched encoder: systematic edges as one
+    gather + one-hot XOR-sum per row, core-parity taps in extension rows as a
+    second small gather."""
+    code = lifted_code(bg, z)
+    kc = code.k_cols
+    sys = np.nonzero(code.cols < kc)[0]
+    sys_idx = _shift_idx(code.shifts[sys], z)  # [Es, Z] gather (i+s)%z
+    sys_cols = code.cols[sys]
+    sys_row_oneh = np.zeros((code.n_rows, sys.shape[0]), np.float32)
+    sys_row_oneh[code.rows[sys], np.arange(sys.shape[0])] = 1.0
+    # core-parity taps (cols kc..kc+3) inside extension rows r >= 4
+    tap = np.nonzero((code.cols >= kc) & (code.cols < kc + 4) & (code.rows >= 4))[0]
+    tap_idx = _shift_idx(code.shifts[tap], z)
+    tap_cols = code.cols[tap] - kc
+    tap_row_oneh = np.zeros((code.n_rows - 4, max(tap.shape[0], 1)), np.float32)
+    if tap.shape[0]:
+        tap_row_oneh[code.rows[tap] - 4, np.arange(tap.shape[0])] = 1.0
+    return code, sys_idx, sys_cols, sys_row_oneh, tap_idx, tap_cols, tap_row_oneh
 
-    Core parities by the row-sum trick (only core-parity shift is P^1 at
-    (0, k_cols)); extension parities direct. Everything in int32 XOR on [.., Z]
-    blocks (cheap; decode dominates).
-    """
-    z, kc = code.z, code.k_cols
-    m = msg.reshape(*msg.shape[:-1], kc, z).astype(jnp.int32)
+
+@partial(jax.jit, static_argnames=("bg", "z"))
+def _encode_jit(msg: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
+    code, sys_idx, sys_cols, sys_oneh, tap_idx, tap_cols, tap_oneh = _encode_plan(bg, z)
+    kc = code.k_cols
+    m = msg.reshape(*msg.shape[:-1], kc, z).astype(jnp.float32)
 
     def pshift(v, s):  # (P^s v)[i] = v[(i+s) mod Z]
         return jnp.roll(v, -s, axis=-1)
 
-    # lambda_r = XOR over systematic entries of row r
-    lam = []
-    for r in range(4):
-        acc = jnp.zeros((*msg.shape[:-1], z), jnp.int32)
-        for e in range(code.rows.shape[0]):
-            if code.rows[e] == r and code.cols[e] < kc:
-                acc = acc ^ pshift(m[..., code.cols[e], :], int(code.shifts[e]))
-        lam.append(acc)
-    s_all = lam[0] ^ lam[1] ^ lam[2] ^ lam[3]
+    def xor(a, b):
+        return jnp.mod(a + b, 2.0)
+
+    # all systematic contributions: gather-shift then XOR-sum per row (matmul
+    # + mod 2 — row degrees are small so float32 sums are exact)
+    m_e = _gather_shift(m[..., jnp.asarray(sys_cols), :], sys_idx)  # [..., Es, Z]
+    lam = jnp.mod(
+        jnp.einsum("re,...ez->...rz", jnp.asarray(sys_oneh), m_e,
+                   preferred_element_type=jnp.float32),
+        2.0,
+    )  # [..., n_rows, Z]
+    s_all = jnp.mod(lam[..., 0, :] + lam[..., 1, :] + lam[..., 2, :] + lam[..., 3, :], 2.0)
     p1 = pshift(s_all, -1)  # P^1 p1 = sum => p1 = P^{-1} sum
-    p2 = lam[0] ^ pshift(p1, 1)
-    p3 = lam[1] ^ p1 ^ p2
-    p4 = lam[3] ^ p1
-    parities = {kc: p1, kc + 1: p2, kc + 2: p3, kc + 3: p4}
-    # extension rows
-    for r in range(4, code.n_rows):
-        acc = jnp.zeros((*msg.shape[:-1], z), jnp.int32)
-        ext_col = kc + 4 + (r - 4)
-        for e in range(code.rows.shape[0]):
-            if code.rows[e] != r:
-                continue
-            c, s = int(code.cols[e]), int(code.shifts[e])
-            if c == ext_col:
-                continue
-            v = m[..., c, :] if c < kc else parities[c]
-            acc = acc ^ pshift(v, s)
-        parities[ext_col] = acc
-    blocks = [m[..., c, :] for c in range(kc)] + [parities[kc + i] for i in range(code.n_cols - kc)]
-    return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
+    p2 = xor(lam[..., 0, :], pshift(p1, 1))
+    p3 = xor(xor(lam[..., 1, :], p1), p2)
+    p4 = xor(lam[..., 3, :], p1)
+    p_core = jnp.stack([p1, p2, p3, p4], axis=-2)  # [..., 4, Z]
+    # extension parities: systematic row-sums XOR core-parity taps
+    if tap_cols.shape[0]:
+        t_e = _gather_shift(p_core[..., jnp.asarray(tap_cols), :], tap_idx)
+        taps = jnp.einsum("re,...ez->...rz", jnp.asarray(tap_oneh), t_e,
+                          preferred_element_type=jnp.float32)
+    else:
+        taps = 0.0
+    p_ext = jnp.mod(lam[..., 4:, :] + taps, 2.0)
+    out = jnp.concatenate(
+        [m.reshape(*msg.shape[:-1], -1),
+         p_core.reshape(*msg.shape[:-1], -1),
+         p_ext.reshape(*msg.shape[:-1], -1)],
+        axis=-1,
+    )
+    return out.astype(jnp.int8)
+
+
+def encode(code: LiftedCode, msg: jnp.ndarray) -> jnp.ndarray:
+    """Systematic QC-LDPC encode. msg [..., K] int -> codeword [..., n_full].
+
+    Core parities by the row-sum trick (only core-parity shift is P^1 at
+    (0, k_cols)); extension parities direct. One gather + one-hot XOR matmul
+    over all edges (the per-edge roll loop was 1/3 of r1's engine runtime)."""
+    return _encode_jit(msg, code.bg, code.z)
 
 
 @lru_cache(maxsize=32)
@@ -401,30 +431,40 @@ def interleave_indices(e_bits: int, qm: int) -> np.ndarray:
     return np.arange(e_bits).reshape(qm, e_bits // qm).T.ravel()
 
 
-def rate_match(codeword: jnp.ndarray, bg: int, z: int, e_bits: int, rv: int,
+@lru_cache(maxsize=512)
+def rate_match_indices_all_rv(bg: int, z: int, e_bits: int, n_filler: int, k: int):
+    """[4, E] bit-selection indices for every RV — lets the RV be a TRACED
+    index so retransmissions reuse the RV-0 compiled program."""
+    return np.stack(
+        [rate_match_indices(bg, z, e_bits, rv, n_filler, k) for rv in range(4)]
+    )
+
+
+def rate_match(codeword: jnp.ndarray, bg: int, z: int, e_bits: int, rv,
                n_filler: int, k: int, qm: int) -> jnp.ndarray:
-    """Full codeword [..., n_full] -> transmitted bits [..., E]."""
+    """Full codeword [..., n_full] -> transmitted bits [..., E]. rv may be a
+    traced int32 scalar."""
     buf = codeword[..., 2 * z :]  # puncture first 2Z systematic bits
-    sel = rate_match_indices(bg, z, e_bits, rv, n_filler, k)
-    e = buf[..., jnp.asarray(sel)]
+    sel = jnp.asarray(rate_match_indices_all_rv(bg, z, e_bits, n_filler, k))[rv]
+    e = buf[..., sel]
     perm = interleave_indices(e_bits, qm)
     return e[..., jnp.asarray(perm)]
 
 
 def rate_recover(
-    llr_e: jnp.ndarray, bg: int, z: int, rv: int, n_filler: int, k: int, qm: int,
+    llr_e: jnp.ndarray, bg: int, z: int, rv, n_filler: int, k: int, qm: int,
     soft_buffer: jnp.ndarray | None = None, filler_llr: float = 1e4,
 ) -> jnp.ndarray:
     """Received LLRs [..., E] -> full-codeword LLRs [..., n_full], combining
     into soft_buffer (HARQ) when provided. Punctured bits get LLR 0, fillers
-    a large bit-0 LLR."""
+    a large bit-0 LLR. rv may be a traced int32 scalar."""
     e_bits = llr_e.shape[-1]
     perm = interleave_indices(e_bits, qm)
     deint = jnp.zeros_like(llr_e).at[..., jnp.asarray(perm)].set(llr_e)
     code_n = (66 if bg == 1 else 50) * z
-    sel = rate_match_indices(bg, z, e_bits, rv, n_filler, k)
+    sel = jnp.asarray(rate_match_indices_all_rv(bg, z, e_bits, n_filler, k))[rv]
     buf = jnp.zeros((*llr_e.shape[:-1], code_n), llr_e.dtype)
-    buf = buf.at[..., jnp.asarray(sel)].add(deint)
+    buf = buf.at[..., sel].add(deint)
     if soft_buffer is not None:
         buf = buf + soft_buffer
     f_start, f_end = k - n_filler - 2 * z, k - 2 * z

@@ -85,6 +85,31 @@ def csirs_panel_dims(n_ports: int) -> tuple:
     return table[n_ports]
 
 
+def panel_dims_for_antenna(antenna) -> tuple:
+    """(N1, N2) matching the PHYSICAL array geometry so the Type-1 codebook's
+    2*N1*N2 ports equal the element count (validated with a clear error at
+    construction — ADVICE r1 #4).
+
+    Type-1 single-panel codebooks are dual-polarized by construction
+    (TS 38.214 §5.2.2.2.1); single-pol arrays are rejected here."""
+    pol = getattr(antenna, "polarizations", 1)
+    if pol != 2:
+        raise ValueError(
+            "Type-1 codebook CSI requires a cross-polarized array "
+            f"(polarizations=2); got polarizations={pol}. Use a 2-pol "
+            "ULA/UPA or disable codebook CSI."
+        )
+    if hasattr(antenna, "n_h"):  # UPA
+        n1, n2 = antenna.n_h * antenna.n_ph, antenna.n_v * antenna.n_pv
+    else:  # ULA
+        n1, n2 = antenna.n_v, 1
+    if 2 * n1 * n2 != antenna.num_elements:
+        raise ValueError(
+            f"panel dims ({n1},{n2}) x 2 pol != {antenna.num_elements} elements"
+        )
+    return n1, n2
+
+
 @lru_cache(maxsize=16)
 def pusch_codebook(n_ports: int, rank: int) -> np.ndarray:
     """PUSCH TPMI codebook (TS 38.211 Tables 6.3.1.5-1..7, fully-coherent set).

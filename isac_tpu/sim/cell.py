@@ -40,11 +40,14 @@ from isac_tpu.mac.pdu import build_mac_pdu, parse_mac_pdu
 from isac_tpu.mac.scheduler import Grant, Scheduler
 from isac_tpu.metrics.kpi import CellMetrics, peak_spectral_efficiency
 from isac_tpu.ops.cdl import (
-    build_cdl_link,
-    cdl_frequency_response,
+    _freq_response_jit,
     apply_channel_freq,
+    build_cdl_link,
+    freq_phases,
     subcarrier_freqs,
+    time_phases,
 )
+from isac_tpu.parallel.links import stack_links
 from isac_tpu.ops.csi import (
     SINR_TO_CQI_UL,
     cqi_select,
@@ -53,8 +56,10 @@ from isac_tpu.ops.csi import (
     subband_size,
     ul_tpmi_select,
 )
+from isac_tpu.ops.csirs import csirs_estimate_fdm, csirs_fdm_reserved, csirs_fill_fdm
 from isac_tpu.ops.pathloss import pathloss as pathloss_db
-from isac_tpu.ops.precoding import csirs_panel_dims, pusch_codebook, type1_codebook
+from isac_tpu.ops.precoding import panel_dims_for_antenna, pusch_codebook, type1_codebook
+from isac_tpu.ops.srs import srs_estimate_ports, srs_fill_grid
 from isac_tpu.ops.sensing import (
     derive_radar_params,
     fft_2d_estimate,
@@ -92,6 +97,7 @@ class CellSimulator:
         rlc_mode: str = "UM",
         enable_sensing: bool = True,
         doa_method: str = "music",
+        fast_csi: bool = False,
     ):
         self.cell = cell
         gnb = cell.gnb
@@ -178,6 +184,21 @@ class CellSimulator:
         self._sym_t = (
             self.info.symbol_starts(1, 0).astype(np.float64) / self.info.sample_rate
         )  # intra-slot symbol times [14]
+        # stacked ray tensors: ONE fused device contraction per slot computes
+        # every UE's H (the reference steps one nrCDLChannel per UE per slot)
+        self._h_cache: dict = {}
+        self._bl = {}
+        for d, links in (("DL", self.links_dl), ("UL", self.links_ul)):
+            bl = stack_links(links)
+            L, n_rx, n_tx2, R = bl.coeff.shape
+            self._bl[d] = {
+                "ff": jnp.asarray(freq_phases(bl.tau, self.freqs)),  # [L, K, R]
+                "c2": jnp.asarray(
+                    bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx2)
+                ),
+                "nu": bl.nu,
+                "shape": (n_rx, n_tx2),
+            }
 
         # ---------------- protocol state --------------------------------------
         sch = cell.scheduling
@@ -207,7 +228,10 @@ class CellSimulator:
         self.pending: list[_PendingFeedback] = []
         self.rx_soft_bufs: dict = {}  # ('DL'|'UL', ue, harq_id) -> decoder buffers
         self.sb_size = subband_size(self.n_rb)
-        self.n1, self.n2 = csirs_panel_dims(min(self.n_tx, 32))
+        self.n1, self.n2 = panel_dims_for_antenna(gnb.antenna)
+        self.fast_csi = fast_csi
+        # PDSCH rate-matches around the transmitted CSI-RS REs on CSI-RS slots
+        self.csirs_reserved = csirs_fdm_reserved(self.n_tx)
         self.csi_period = max(
             int(round(sch.csi_report_period_ms * 1e-3 / self.carrier.slot_duration_s)), 1
         )
@@ -246,15 +270,26 @@ class CellSimulator:
 
     # ------------------------------------------------------------- channel ops
 
-    def _h_dl(self, ue: int, slot: int, syms: np.ndarray | None = None) -> jnp.ndarray:
-        t = slot * self.carrier.slot_duration_s + (
-            self._sym_t if syms is None else self._sym_t[syms]
-        )
-        return cdl_frequency_response(self.links_dl[ue], np.atleast_1d(t), self.freqs)
+    def _h_slot(self, slot: int, direction: str) -> jnp.ndarray:
+        """All-UE channel for one slot, [L, 14, n_sc, n_rx, n_tx] (cached)."""
+        key = (slot, direction)
+        if key not in self._h_cache:
+            if len(self._h_cache) > 4:
+                self._h_cache.clear()
+            b = self._bl[direction]
+            t = slot * self.carrier.slot_duration_s + self._sym_t
+            ft = jnp.asarray(time_phases(b["nu"], t))  # [L, 14, R]
+            h = _freq_response_jit(ft, b["ff"], b["c2"])
+            n_rx, n_tx = b["shape"]
+            L = h.shape[0]
+            self._h_cache[key] = h.reshape(L, 14, self.n_sc, n_rx, n_tx)
+        return self._h_cache[key]
+
+    def _h_dl(self, ue: int, slot: int) -> jnp.ndarray:
+        return self._h_slot(slot, "DL")[ue]
 
     def _h_ul(self, ue: int, slot: int) -> jnp.ndarray:
-        t = slot * self.carrier.slot_duration_s + self._sym_t
-        return cdl_frequency_response(self.links_ul[ue], t, self.freqs)
+        return self._h_slot(slot, "UL")[ue]
 
     def _noise(self, shape, key) -> jnp.ndarray:
         kr, ki = jax.random.split(key)
@@ -322,18 +357,9 @@ class CellSimulator:
 
     # ------------------------------------------------------------------- CSI
 
-    def _csirs_measure(self, ue: int, slot: int):
-        """UE-side CSI-RS measurement -> queued CSI report (uePhy.m:757-933).
-
-        One CSI-RS RE per PRB (row-5-like density); the measured channel is
-        truth at those REs + estimation noise at the per-RE SNR."""
-        sc = np.arange(self.n_rb) * 12 + 6
-        t = slot * self.carrier.slot_duration_s + self._sym_t[2]
-        h = cdl_frequency_response(
-            self.links_dl[ue], np.atleast_1d(t), self.freqs[sc]
-        )[0] * self.amp_dl[ue]  # [n_rb, n_rx, n_tx]
-        key = self._slot_key(slot, 1000 + ue)
-        h_meas = h + self._noise(h.shape, key)
+    def _queue_csi(self, ue: int, slot: int, h_meas: jnp.ndarray):
+        """rank/PMI/CQI selection on a per-PRB channel measurement [n_rb, n_rx,
+        n_ports] -> queued CSI report (cqiSelect/riSelect/dlPMISelect tail)."""
         rank = int(ri_select(h_meas, 1.0, max_rank=min(2, self.n_ue_ants)))
         sb_of_re = (np.arange(self.n_rb) // self.sb_size).astype(np.int64)
         rep = cqi_select(h_meas, 1.0, rank, self.n1, self.n2, subband_of_re=sb_of_re)
@@ -350,18 +376,25 @@ class CellSimulator:
             )
         )
 
-    def _srs_measure(self, ue: int, slot: int):
-        """gNB-side SRS processing -> UL CSI (gNBPhy.m srsRxProcessing:983-1062).
+    def _csirs_measure(self, ue: int, slot: int):
+        """fast_csi path: measured channel = truth at CSI-RS REs + estimation
+        noise at the per-RE SNR (the r1 bootstrap shortcut, kept behind the
+        fast_csi flag)."""
+        sc = np.arange(self.n_rb) * 12 + 6
+        h = self._h_slot(slot, "DL")[ue, 2, jnp.asarray(sc)] * self.amp_dl[ue]
+        h_meas = h + self._noise(h.shape, self._slot_key(slot, 1000 + ue))
+        self._queue_csi(ue, slot, h_meas)
 
-        Comb-4 full-band SRS: per-RE power = P_ue / (n_sc / 4)."""
-        sc = np.arange(0, self.n_sc, 12)  # sampled comb positions (1 per PRB)
-        t = slot * self.carrier.slot_duration_s + self._sym_t[13]
-        h = cdl_frequency_response(self.links_ul[ue], np.atleast_1d(t), self.freqs[sc])[0]
-        amp = np.sqrt(self.p_ul_w / (self.n_sc / 4.0) * self._g_ul_over_n[ue]).astype(
-            np.float32
+    def _csirs_measure_rx(self, ue: int, rx: jnp.ndarray, slot: int):
+        """UE-side CSI-RS measurement from the RECEIVED grid (uePhy.m:757-933):
+        LS at the transmitted FDM CSI-RS REs -> rank/PMI/CQI."""
+        h_meas = csirs_estimate_fdm(
+            rx, slot % self.carrier.slots_per_frame, self.cell.gnb.cell_id,
+            self.n_rb, self.n_tx,
         )
-        h = h * amp  # [K, n_rx=gnb, n_tx=ue]
-        h_meas = h + self._noise(h.shape, self._slot_key(slot, 2000 + ue))
+        self._queue_csi(ue, slot, h_meas)
+
+    def _srs_csi_update(self, ue: int, slot: int, h_meas: jnp.ndarray):
         rank = int(ri_select(h_meas, 1.0, max_rank=min(2, self.n_ue_ants)))
         sb_of_re = (np.arange(self.n_rb) // self.sb_size).astype(np.int64)
         tpmi, sinr_db_sb = ul_tpmi_select(h_meas, 1.0, rank, subband_of_re=sb_of_re)
@@ -369,20 +402,58 @@ class CellSimulator:
         cqi_rb = cqi_sb[sb_of_re]
         self.scheduler.update_ul_csi(ue, cqi_rb, rank, int(tpmi))
 
+    def _srs_measure(self, ue: int, slot: int):
+        """fast_csi path: truth + noise at sampled SRS REs."""
+        sc = np.arange(0, self.n_sc, 12)  # sampled comb positions (1 per PRB)
+        h = self._h_slot(slot, "UL")[ue, 13, jnp.asarray(sc)]
+        amp = np.sqrt(self.p_ul_w / (self.n_sc / 4.0) * self._g_ul_over_n[ue]).astype(
+            np.float32
+        )
+        h = h * amp  # [K, n_rx=gnb, n_tx=ue]
+        h_meas = h + self._noise(h.shape, self._slot_key(slot, 2000 + ue))
+        self._srs_csi_update(ue, slot, h_meas)
+
+    def _srs_slot(self, slot: int, ues: list):
+        """Transmitted-SRS path (gNBPhy.m srsRxProcessing:983-1062): every
+        sounding UE's comb-4 SRS rides symbol 13 (distinct comb offsets keep
+        up to 4 UEs orthogonal, setupSRS.m); the gNB receives the SUM and
+        estimates each UE from its comb."""
+        rx = None
+        for u in ues:
+            g = np.zeros((self.n_ue_ants, 14, self.n_sc), np.complex64)
+            g, _ = srs_fill_grid(g, self.n_rb, symbol=13, comb=4, comb_offset=u % 4)
+            amp = np.sqrt(
+                self.p_ul_w / (self.n_sc / 4.0) * self._g_ul_over_n[u]
+            ).astype(np.float32)
+            r = apply_channel_freq(jnp.asarray(g), self._h_ul(u, slot)) * amp
+            rx = r if rx is None else rx + r
+        rx = rx + self._noise(rx.shape, self._slot_key(slot, 2500))
+        for u in ues:
+            h_est, ks = srs_estimate_ports(
+                rx, self.n_rb, self.n_ue_ants, symbol=13, comb=4, comb_offset=u % 4
+            )  # [n_re, n_rx_gnb, n_ue_ports]
+            h_prb = h_est[:: max(len(ks) // self.n_rb, 1)][: self.n_rb]
+            self._srs_csi_update(u, slot, h_prb)
+
     # ----------------------------------------------------------------- grants
 
-    def _dl_precoder(self, grant: Grant) -> jnp.ndarray | None:
-        """Per-PRG precoders from the reported subband PMI
-        (selectRankAndPrecodingMatrixDL, schedulerEntity.m:2482-2546)."""
+    def _dl_precoder(self, grant: Grant) -> jnp.ndarray:
+        """Per-canonical-PRG precoders from the reported subband PMI
+        (selectRankAndPrecodingMatrixDL, schedulerEntity.m:2482-2546).
+
+        PRGs pair the grant's ALLOCATED PRBs in sorted order (the compact-grid
+        convention, phy/chains.py); each PRG uses the PMI of the subband its
+        first PRB falls in. No report yet -> layer-to-port identity."""
         if not grant.pmi_sb:
-            return None
+            return jnp.asarray(np.eye(self.n_tx, grant.n_layers, dtype=np.complex64))
         cb = type1_codebook(self.n1, self.n2, grant.n_layers)
-        n_prg = (self.n_rb + 1) // 2
         pmi_sb = np.asarray(grant.pmi_sb, np.int64) % cb.shape[0]
-        prg_to_sb = np.minimum((np.arange(n_prg) * 2) // self.sb_size, len(pmi_sb) - 1)
+        prbs = np.asarray(grant.prb_set, np.int64)
+        first_prb = prbs[0::2]  # canonical PRG anchors
+        prg_to_sb = np.minimum(first_prb // self.sb_size, len(pmi_sb) - 1)
         return jnp.asarray(cb[pmi_sb[prg_to_sb]])  # [n_prg, n_ports, L]
 
-    def _sch_grant(self, g: Grant, n_sym: int) -> SCHGrant:
+    def _sch_grant(self, g: Grant, n_sym: int, reserved: tuple = ()) -> SCHGrant:
         return SCHGrant(
             rnti=g.rnti,
             n_id=self.cell.gnb.cell_id,
@@ -396,11 +467,12 @@ class CellSimulator:
             rv=g.rv,
             n_sc_grid=self.n_sc,
             direction=g.direction,
+            reserved_per_prb=reserved,
         )
 
     # -------------------------------------------------------------- slot steps
 
-    def _prepare_tx(self, g: Grant, harq, n_sym: int):
+    def _prepare_tx(self, g: Grant, harq, n_sym: int, reserved: tuple = ()):
         """Resolve the exact grant layout + TB payload for one grant.
 
         The scheduler's TBS uses the reference's DM-RS overhead approximation
@@ -413,9 +485,13 @@ class CellSimulator:
             g.n_layers = stored["n_layers"]
             g.pmi_sb = stored.get("pmi_sb", g.pmi_sb)
             g.tpmi = stored.get("tpmi", g.tpmi)
-        sg = self._sch_grant(g, n_sym)
+        sg = self._sch_grant(g, n_sym, reserved)
         true_tbs = grant_tbs(sg)
         if true_tbs <= 0:
+            if not g.is_retx:
+                # the scheduler already claimed the process — free it or it
+                # leaks forever (no feedback is ever queued; ADVICE r1 #5)
+                harq.feedback(g.ue, g.harq_id, ack=True)
             return None
         if g.is_retx and stored is not None:
             if int(stored["tb"].shape[0]) != true_tbs:
@@ -434,13 +510,14 @@ class CellSimulator:
         }
         return sg, tb
 
-    def _dl_slot(self, slot: int, n_sym: int):
+    def _dl_slot(self, slot: int, n_sym: int, csi_slot: bool = False):
         grants = self.scheduler.schedule_slot(slot, "DL", n_sym=n_sym)
         harq = self.scheduler.harq_dl
+        reserved = self.csirs_reserved if (csi_slot and not self.fast_csi) else ()
         port_grid = None
         per_ue = []
         for g in grants:
-            prep = self._prepare_tx(g, harq, n_sym)
+            prep = self._prepare_tx(g, harq, n_sym, reserved)
             if prep is None:
                 continue
             sg, tb = prep
@@ -450,7 +527,24 @@ class CellSimulator:
             per_ue.append((g, sg, tb))
             self.metrics.on_tx("DL", g.ue, g.tbs, g.is_retx)
 
+        if csi_slot and not self.fast_csi:
+            # transmit the CSI-RS through the same grid: PDSCH rate-matches
+            # around it (reserved REs), the UEs estimate from it, and — unlike
+            # the reference's pure-PDSCH radar illumination — the sensing
+            # accumulator gets beam-independent full-rank port excitation
+            # (uePhy.m:757-933; gNBPhy.m:583-588)
+            csirs = jnp.asarray(
+                csirs_fill_fdm(
+                    slot % self.carrier.slots_per_frame, self.cell.gnb.cell_id,
+                    self.n_rb, self.n_tx, self.n_sc,
+                )
+            )
+            port_grid = csirs if port_grid is None else port_grid + csirs
+
         if port_grid is None:
+            if csi_slot and self.fast_csi:  # truth-based CSI needs no grid
+                for u in range(self.n_ues):
+                    self._csirs_measure(u, slot)
             return
         if self.enable_sensing:
             # accumulate with the reference amplitude law (gNBPhy.m:592)
@@ -462,10 +556,17 @@ class CellSimulator:
                 port_grid[:, :n_sym, :]
             ) * amp_law
 
+        rx_cache: dict = {}
+
+        def rx_for(ue: int) -> jnp.ndarray:
+            if ue not in rx_cache:
+                h = self._h_dl(ue, slot)  # [14, n_sc, n_rx, n_tx]
+                r = apply_channel_freq(port_grid, h) * self.amp_dl[ue]
+                rx_cache[ue] = r + self._noise(r.shape, self._slot_key(slot, ue))
+            return rx_cache[ue]
+
         for g, sg, tb in per_ue:
-            h = self._h_dl(g.ue, slot)  # [14, n_sc, n_rx, n_tx]
-            rx = apply_channel_freq(port_grid, h) * self.amp_dl[g.ue]
-            rx = rx + self._noise(rx.shape, self._slot_key(slot, g.ue))
+            rx = rx_for(g.ue)
             bufs = self.rx_soft_bufs.get(("DL", g.ue, g.harq_id)) if g.is_retx else None
             out = sch_receive(rx, sg, soft_buffers=bufs, n_ldpc_iter=self.n_ldpc_iter)
             ok = bool(out["crc_ok"])
@@ -489,6 +590,14 @@ class CellSimulator:
                     slot, dir="DL", ue=g.ue, mcs=g.mcs, n_prb=len(g.prb_set),
                     tbs=g.tbs, crc=ok, sinr_db=float(out["sinr_db"]), rv=g.rv,
                 )
+
+        if csi_slot:
+            # every UE measures CSI this slot, granted or not
+            for u in range(self.n_ues):
+                if self.fast_csi:
+                    self._csirs_measure(u, slot)
+                else:
+                    self._csirs_measure_rx(u, rx_for(u), slot)
 
     def _ul_slot(self, slot: int, n_sym: int):
         grants = self.scheduler.schedule_slot(slot, "UL", n_sym=n_sym)
@@ -565,28 +674,39 @@ class CellSimulator:
                 self._tick_1ms()
             self._process_due(slot)
             stype = self.tdd.slot_type(slot) if self.cell.gnb.duplex_mode == "TDD" else "D"
+            # CSI-RS period [5 2] (setupCSIRS.m): DL slots with slot % 5 == 2
+            csi_slot = stype == "D" and slot % self.csi_period == 2 % self.csi_period
+            # periodic SRS (setupSRS.m): staggered per-UE counters, distinct
+            # comb offsets keep up to 4 simultaneous sounders orthogonal
+            sounding: list = []
+            if stype in ("U", "S"):
+                for u in range(self.n_ues):
+                    self.srs_due[u] -= 1
+                    if self.srs_due[u] <= 0:
+                        sounding.append(u)
+                        self.srs_due[u] = 8
             if stype == "D":
-                self._dl_slot(slot, 14)
+                self._dl_slot(slot, 14, csi_slot=csi_slot)
             elif stype == "S":
                 if self.tdd.num_dl_syms >= 4:
                     self._dl_slot(slot, self.tdd.num_dl_syms)
             else:
-                self._ul_slot(slot, 14)
+                # PUSCH avoids the SRS symbol when someone sounds this slot
+                # (proportionalFair.m SRS-reserved-symbol avoidance, :115-384)
+                self._ul_slot(slot, 13 if (sounding and not self.fast_csi) else 14)
             if stype in ("U", "S"):
-                # BSR (ueMAC.m bsrTx:1102) + periodic SRS (setupSRS.m)
+                # BSR (ueMAC.m bsrTx:1102)
                 for u in range(self.n_ues):
                     if slot % self.bsr_period == 0 or self.scheduler.ues[u].ul_buffer == 0:
                         self.scheduler.update_buffer(
                             u, "UL", self.rlc_ul[u].buffer_status()
                         )
-                    self.srs_due[u] -= 1
-                    if self.srs_due[u] <= 0:
+            if sounding:
+                if self.fast_csi:
+                    for u in sounding:
                         self._srs_measure(u, slot)
-                        self.srs_due[u] = 8
-            # CSI-RS period [5 2] (setupCSIRS.m): DL slots with slot % 5 == 2
-            if stype == "D" and slot % self.csi_period == 2 % self.csi_period:
-                for u in range(self.n_ues):
-                    self._csirs_measure(u, slot)
+                else:
+                    self._srs_slot(slot, sounding)
 
         qm_max = 8 if self.scheduler.mcs_table == "qam256" else 6
         comm = self.metrics.finalize(
