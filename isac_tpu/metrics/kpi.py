@@ -73,33 +73,43 @@ class CellMetrics:
 
     def finalize(self, peak_se_dl: float = 0.0, peak_se_ul: float = 0.0) -> dict:
         """KPI dict mirroring metricsVisualizer savePerformanceIndicators
-        (metricsVisualizer.m:627-674)."""
+        (metricsVisualizer.m:627-674): throughput = ALL MAC TB bits transmitted
+        incl. retransmissions (MACTxBytes), goodput = first-transmission MAC
+        bits (MACNewTxBytes), achieved SE = sum(goodput)/BW. The ack-based and
+        app-level counters are exposed under distinct keys."""
         t = max(self.duration_s, 1e-12)
 
         def per_ue(cs):
-            thr = np.array([c.ack_bits / t / 1e6 for c in cs])  # Mbps
-            good = np.array([c.goodput_bytes * 8 / t / 1e6 for c in cs])
+            thr = np.array([c.tx_bits / t / 1e6 for c in cs])  # Mbps
+            good = np.array([c.new_tx_bits / t / 1e6 for c in cs])
+            acked = np.array([c.ack_bits / t / 1e6 for c in cs])
+            app = np.array([c.goodput_bytes * 8 / t / 1e6 for c in cs])
             bler = np.array(
                 [c.blk_err / c.blk_total if c.blk_total else 0.0 for c in cs]
             )
-            return thr, good, bler
+            return thr, good, acked, app, bler
 
-        dl_thr, dl_good, dl_bler = per_ue(self.dl)
-        ul_thr, ul_good, ul_bler = per_ue(self.ul)
+        dl_thr, dl_good, dl_ack, dl_app, dl_bler = per_ue(self.dl)
+        ul_thr, ul_good, ul_ack, ul_app, ul_bler = per_ue(self.ul)
         bw_mhz = self.bandwidth_hz / 1e6
         return {
             "ueDLThroughputMbps": dl_thr,
             "ueULThroughputMbps": ul_thr,
             "ueDLGoodputMbps": dl_good,
             "ueULGoodputMbps": ul_good,
+            "ueDLAckedMbps": dl_ack,  # CRC-passed MAC bits (not in the reference surface)
+            "ueULAckedMbps": ul_ack,
+            "ueDLAppGoodputMbps": dl_app,  # RLC-delivered SDU bytes (not in the reference surface)
+            "ueULAppGoodputMbps": ul_app,
             "ueDLBLER": dl_bler,
             "ueULBLER": ul_bler,
             "cellDLThroughputMbps": float(dl_thr.sum()),
             "cellULThroughputMbps": float(ul_thr.sum()),
             "cellDLGoodputMbps": float(dl_good.sum()),
             "cellULGoodputMbps": float(ul_good.sum()),
-            "achievedSEDL": float(dl_thr.sum() / bw_mhz) if bw_mhz else 0.0,  # bit/s/Hz
-            "achievedSEUL": float(ul_thr.sum() / bw_mhz) if bw_mhz else 0.0,
+            # TR 37.910 achieved SE uses goodput (metricsVisualizer.m:654-671)
+            "achievedSEDL": float(dl_good.sum() / bw_mhz) if bw_mhz else 0.0,  # bit/s/Hz
+            "achievedSEUL": float(ul_good.sum() / bw_mhz) if bw_mhz else 0.0,
             "peakSEDL": peak_se_dl,
             "peakSEUL": peak_se_ul,
             "harqDropsDL": int(sum(c.harq_drops for c in self.dl)),

@@ -1,14 +1,24 @@
 """RLC Acknowledged Mode per TS 38.322 (ref: +rlcLayer/amEntity.m:324-1854).
 
-Host-side state machine: tx/rx windows, polling (pollPDU/pollByte/
-t-PollRetransmit), STATUS PDU with ACK_SN + NACK_SN list, retransmission
-queue, t-StatusProhibit. AMD PDU (12-bit SN):
-  [D/C=1 | P | SI(2) | SN(12)] (2 bytes) [+ SO (2 bytes) for non-first segments]
-STATUS PDU: [D/C=0 | CPT=000 | ACK_SN(12)] + per-NACK [NACK_SN(12) ...].
+Host-side bidirectional state machine: one entity per END of an AM bearer
+(gNB end transmits DL SDUs and receives UL; UE end the reverse), exactly like
+the reference's per-node amEntity objects. TX side: SDU queue with
+segmentation, tx window, polling (pollPDU/pollByte/t-PollRetransmit),
+retransmission queue with per-SN segment ranges
+(amEntity.m retransmitSegment:721, updateRetransmissionContext:1073).
+RX side: per-SN segment reassembly, t-Reassembly, STATUS PDU construction with
+ACK_SN + NACK_SN list incl. segment offsets (constructStatusPDU:1219,
+decodeStatusPDU:1311), t-StatusProhibit.
 
-Deviation (documented): segment-offset NACK ranges are not encoded — a NACK
-retransmits the whole SDU (the reference's retransmitSegment:721 path resends
-segments; whole-SDU retx is a conservative superset).
+STATUS PDUs are CONTROL PDUs carried in-band on the same logical channel of
+the reverse link (D/C bit distinguishes them); the simulator routes every
+received PDU of a bearer into this one entity and `receive_pdu` dispatches.
+
+PDU framing (12-bit SN; compact, not the bit-exact 38.322 layout — documented
+deviation, the semantics match):
+- AMD:    [D/C=1 | P | SI(2) | SN(11:8)] [SN(7:0)] [SO(2B) if SI=MIDDLE/LAST]
+- STATUS: [D/C=0 | 0 | 0 | ACK_SN(11:8)] [ACK_SN(7:0)]
+          then per NACK: [hasSO | SN(11:8)<<0] [SN(7:0)] [+4B so_start,so_end]
 """
 
 from __future__ import annotations
@@ -16,8 +26,8 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass
 
-
 SI_FULL, SI_FIRST, SI_LAST, SI_MIDDLE = 0, 1, 2, 3
+SO_END_OF_SDU = 0xFFFF
 
 
 @dataclass
@@ -31,6 +41,7 @@ class AMStats:
     rx_bytes: int = 0
     status_tx: int = 0
     status_rx: int = 0
+    dropped: int = 0
 
 
 class AMEntity:
@@ -43,6 +54,7 @@ class AMEntity:
         t_status_prohibit_ms: int = 5,
         t_reassembly_ms: int = 35,
         max_retx: int = 8,
+        header_overhead: int = 4,
     ):
         self.sn_mod = 1 << sn_bits
         self.poll_pdu = poll_pdu
@@ -51,174 +63,332 @@ class AMEntity:
         self.t_status_prohibit = t_status_prohibit_ms
         self.t_reassembly = t_reassembly_ms
         self.max_retx = max_retx
-        # TX state
-        self.tx_queue: deque = deque()  # new SDUs
+        self.header_overhead = header_overhead
+        # ----- TX side -----
+        self.tx_queue: deque = deque()  # [sdu, next_offset] new SDUs
         self.tx_next = 0
         self.tx_next_ack = 0
         self.tx_buffer: dict = {}  # sn -> sdu bytes (unacked)
-        self.retx_queue: deque = deque()  # sns to retransmit
+        # retx queue entries: (sn, so_start, so_end) — so_end=SO_END_OF_SDU
+        # means "to end of SDU" (whole-SDU NACKs use (sn, 0, SO_END_OF_SDU))
+        self.retx_queue: deque = deque()
         self.retx_count: dict = {}
         self.pdu_since_poll = 0
         self.byte_since_poll = 0
         self.poll_retx_timer = -1
-        # RX state
-        self.rx_next = 0
-        self.rx_store: dict = {}  # sn -> sdu bytes (out of order)
+        # ----- RX side -----
+        self.rx_next = 0  # lowest SN not fully reassembled & delivered
+        self.rx_segs: dict = {}  # sn -> {"segs": {so: bytes}, "total": int|None}
+        self.rx_timer = -1  # t-Reassembly (one timer, 38.322 §5.2.3.2.3)
         self.status_trigger = False
         self.status_prohibit = 0
-        self.rx_highest = 0
         self.stats = AMStats()
 
     # ------------------------------------------------------------------- TX
 
     def enqueue_sdu(self, sdu: bytes):
-        self.tx_queue.append(sdu)
+        self.tx_queue.append([sdu, 0])
         self.stats.tx_sdus += 1
 
     def buffer_status(self) -> int:
-        n = sum(len(s) + 2 for s in self.tx_queue)
-        n += sum(len(self.tx_buffer[sn]) + 2 for sn in self.retx_queue if sn in self.tx_buffer)
+        """Pending TX bytes incl. estimated headers (getBufferStatus analogue)."""
+        n = sum(len(s) - off + self.header_overhead for s, off in self.tx_queue)
+        for sn, so0, so1 in self.retx_queue:
+            sdu = self.tx_buffer.get(sn)
+            if sdu is not None:
+                end = len(sdu) if so1 == SO_END_OF_SDU else min(so1 + 1, len(sdu))
+                n += max(end - so0, 0) + self.header_overhead
         return n
 
     def _window_ok(self, sn: int) -> bool:
         return ((sn - self.tx_next_ack) % self.sn_mod) < self.sn_mod // 2
 
+    def _amd_header(self, sn: int, si: int, so: int, poll: bool) -> bytes:
+        b0 = 0x80 | (0x40 if poll else 0) | (si << 4) | ((sn >> 8) & 0xF)
+        hdr = bytes([b0, sn & 0xFF])
+        if si in (SI_MIDDLE, SI_LAST):
+            hdr += bytes([(so >> 8) & 0xFF, so & 0xFF])
+        return hdr
+
     def send_pdus(self, grant_bytes: int) -> list:
-        """Retransmissions first (amEntity.m retx context :1073), then new data."""
-        pdus = []
+        """Retransmissions first (amEntity.m retx context :1073), then new
+        data with segmentation (retransmitSegment:721 / sendPDU analogue)."""
+        pdus: list = []
         budget = int(grant_bytes)
-        while self.retx_queue and budget > 4:
-            sn = self.retx_queue[0]
+
+        # --- retransmissions (possibly byte ranges), segmenting to the grant
+        while self.retx_queue and budget > 6:
+            sn, so0, so1 = self.retx_queue[0]
             sdu = self.tx_buffer.get(sn)
             if sdu is None:
                 self.retx_queue.popleft()
                 continue
-            if len(sdu) + 2 > budget:
+            end = len(sdu) if so1 == SO_END_OF_SDU else min(so1 + 1, len(sdu))
+            if so0 >= end:
+                self.retx_queue.popleft()
+                continue
+            full_sdu = so0 == 0 and end == len(sdu)
+            # header size for the piece we are about to send
+            hlen = 2 if (full_sdu or so0 == 0) else 4
+            room = budget - hlen
+            if room <= 0:
                 break
-            self.retx_queue.popleft()
-            pdus.append(self._amd_pdu(sn, sdu, poll=self._poll_due(len(sdu))))
-            budget -= len(sdu) + 2
+            take = min(room, end - so0)
+            is_last_piece = so0 + take == end
+            if full_sdu and is_last_piece:
+                si = SI_FULL
+            elif so0 == 0:
+                si = SI_FIRST
+            elif so0 + take == len(sdu):
+                si = SI_LAST
+            else:
+                si = SI_MIDDLE
+            # TS 38.322 §5.3.3.2: force a poll when both buffers empty after
+            # this PDU (otherwise the final ACK is never solicited)
+            empty_after = is_last_piece and len(self.retx_queue) == 1 and not self.tx_queue
+            poll = self._poll_due(take, force=empty_after)
+            pdus.append(self._amd_header(sn, si, so0, poll) + sdu[so0 : so0 + take])
+            budget -= hlen + take
             self.stats.retx_pdus += 1
-        while self.tx_queue and budget > 4 and self._window_ok(self.tx_next):
-            sdu = self.tx_queue[0]
-            if len(sdu) + 2 > budget:
-                break  # (no segmentation on AM tx in this round — whole SDUs)
-            self.tx_queue.popleft()
+            if is_last_piece:
+                self.retx_queue.popleft()
+            else:
+                self.retx_queue[0] = (sn, so0 + take, so1)
+
+        # --- new transmissions, segmenting the head SDU to the grant
+        while self.tx_queue and budget > 6 and self._window_ok(self.tx_next):
+            sdu, off = self.tx_queue[0]
+            hlen = 2 if off == 0 else 4
+            room = budget - hlen
+            if room <= 0:
+                break
+            take = min(room, len(sdu) - off)
+            done = off + take == len(sdu)
+            if off == 0 and done:
+                si = SI_FULL
+            elif off == 0:
+                si = SI_FIRST
+            elif done:
+                si = SI_LAST
+            else:
+                si = SI_MIDDLE
             sn = self.tx_next
-            self.tx_next = (self.tx_next + 1) % self.sn_mod
-            self.tx_buffer[sn] = sdu
-            pdus.append(self._amd_pdu(sn, sdu, poll=self._poll_due(len(sdu))))
-            budget -= len(sdu) + 2
+            empty_after = done and len(self.tx_queue) == 1 and not self.retx_queue
+            poll = self._poll_due(take, force=empty_after)
+            pdus.append(self._amd_header(sn, si, off, poll) + sdu[off : off + take])
+            budget -= hlen + take
+            if done:
+                self.tx_queue.popleft()
+                self.tx_buffer[sn] = sdu
+                self.tx_next = (self.tx_next + 1) % self.sn_mod
+            else:
+                self.tx_queue[0][1] = off + take
         self.stats.tx_pdus += len(pdus)
         self.stats.tx_bytes += sum(len(p) for p in pdus)
         return pdus
 
-    def _poll_due(self, n_bytes: int) -> bool:
-        """pollPDU / pollByte triggers (amEntity.m getPollStatus:809)."""
+    def _poll_due(self, n_bytes: int, force: bool = False) -> bool:
+        """pollPDU / pollByte / buffer-empty triggers (getPollStatus:809)."""
         self.pdu_since_poll += 1
         self.byte_since_poll += n_bytes
-        if self.pdu_since_poll >= self.poll_pdu or self.byte_since_poll >= self.poll_byte:
+        if force or self.pdu_since_poll >= self.poll_pdu or self.byte_since_poll >= self.poll_byte:
             self.pdu_since_poll = 0
             self.byte_since_poll = 0
             self.poll_retx_timer = self.t_poll_retx
             return True
         return False
 
-    def _amd_pdu(self, sn: int, sdu: bytes, poll: bool) -> bytes:
-        b0 = 0x80 | (0x40 if poll else 0) | (SI_FULL << 4) | ((sn >> 8) & 0xF)
-        return bytes([b0, sn & 0xFF]) + sdu
-
     # ------------------------------------------------------------------- RX
 
     def receive_pdu(self, pdu: bytes) -> list:
-        """AMD or STATUS PDU in; returns delivered SDUs."""
-        if pdu[0] & 0x80:  # AMD data
-            self.stats.rx_pdus += 1
-            poll = bool(pdu[0] & 0x40)
-            sn = ((pdu[0] & 0xF) << 8) | pdu[1]
-            self.rx_store[sn] = pdu[2:]
-            if poll:
-                self.status_trigger = True
-            delivered = []
-            while self.rx_next in self.rx_store:
-                sdu = self.rx_store.pop(self.rx_next)
-                delivered.append(sdu)
-                self.rx_next = (self.rx_next + 1) % self.sn_mod
-                self.stats.rx_sdus += 1
-                self.stats.rx_bytes += len(sdu)
-            dist = (sn - self.rx_next) % self.sn_mod
-            if 0 < dist < self.sn_mod // 2:
-                self.status_trigger = True  # gap detected
-            return delivered
-        # STATUS PDU (amEntity.m decodeStatusPDU:1311)
-        self.stats.status_rx += 1
-        ack_sn = ((pdu[0] & 0xF) << 8) | pdu[1]
-        nacks = []
-        i = 2
-        while i + 1 < len(pdu):
-            nacks.append(((pdu[i] & 0xF) << 8) | pdu[i + 1])
-            i += 2
-        self._handle_status(ack_sn, nacks)
+        """AMD or STATUS PDU in (D/C dispatch); returns delivered SDUs."""
+        if pdu[0] & 0x80:
+            return self._receive_amd(pdu)
+        self._receive_status(pdu)
         return []
 
-    def _handle_status(self, ack_sn: int, nacks: list):
-        """Release acked SDUs; queue NACKed for retx (updateRetransmissionContext:1073)."""
-        nack_set = set(nacks)
-        sn = self.tx_next_ack
-        while sn != ack_sn:
-            if sn not in nack_set:
-                self.tx_buffer.pop(sn, None)
-                self.retx_count.pop(sn, None)
-            sn = (sn + 1) % self.sn_mod
-        self.tx_next_ack = min(
-            nacks, default=ack_sn,
-            key=lambda s: (s - self.tx_next_ack) % self.sn_mod,
-        ) if nacks else ack_sn
-        for sn in nacks:
-            if sn in self.tx_buffer:
-                c = self.retx_count.get(sn, 0) + 1
-                self.retx_count[sn] = c
-                if c <= self.max_retx and sn not in self.retx_queue:
-                    self.retx_queue.append(sn)
-                elif c > self.max_retx:
-                    self.tx_buffer.pop(sn, None)  # maxRetx reached -> drop
-        self.poll_retx_timer = -1
+    def _receive_amd(self, pdu: bytes) -> list:
+        self.stats.rx_pdus += 1
+        poll = bool(pdu[0] & 0x40)
+        si = (pdu[0] >> 4) & 0x3
+        sn = ((pdu[0] & 0xF) << 8) | pdu[1]
+        if si in (SI_MIDDLE, SI_LAST):
+            so = (pdu[2] << 8) | pdu[3]
+            data = pdu[4:]
+        else:
+            so = 0
+            data = pdu[2:]
+        # discard outside the rx window (already delivered)
+        if ((sn - self.rx_next) % self.sn_mod) >= self.sn_mod // 2:
+            if poll:
+                self.status_trigger = True
+            return []
+        ent = self.rx_segs.setdefault(sn, {"segs": {}, "total": None})
+        ent["segs"][so] = data
+        if si in (SI_FULL, SI_LAST):
+            ent["total"] = so + len(data)
+        if poll:
+            self.status_trigger = True
+
+        delivered = []
+        while self.rx_next in self.rx_segs and self._complete(self.rx_next):
+            sdu = self._assemble(self.rx_next)
+            self.rx_segs.pop(self.rx_next)
+            delivered.append(sdu)
+            self.rx_next = (self.rx_next + 1) % self.sn_mod
+            self.stats.rx_sdus += 1
+            self.stats.rx_bytes += len(sdu)
+        # gap detected beyond rx_next -> reassembly timer + status
+        if any(s != self.rx_next for s in self.rx_segs) or (
+            self.rx_next in self.rx_segs and not self._complete(self.rx_next)
+        ):
+            if self.rx_timer < 0:
+                self.rx_timer = self.t_reassembly
+        else:
+            self.rx_timer = -1
+        dist = (sn - self.rx_next) % self.sn_mod
+        if 0 < dist < self.sn_mod // 2:
+            self.status_trigger = True  # out-of-order arrival
+        return delivered
+
+    def _complete(self, sn: int) -> bool:
+        ent = self.rx_segs.get(sn)
+        if ent is None or ent["total"] is None:
+            return False
+        have = 0
+        for so in sorted(ent["segs"]):
+            if so > have:
+                return False
+            have = max(have, so + len(ent["segs"][so]))
+        return have >= ent["total"]
+
+    def _assemble(self, sn: int) -> bytes:
+        ent = self.rx_segs[sn]
+        out = bytearray(ent["total"])
+        for so, data in ent["segs"].items():
+            out[so : so + len(data)] = data
+        return bytes(out)
+
+    def _missing_ranges(self, sn: int) -> list:
+        """[(so_start, so_end_inclusive|SO_END_OF_SDU)] byte gaps of SN."""
+        ent = self.rx_segs.get(sn)
+        if ent is None:
+            return [(0, SO_END_OF_SDU)]
+        gaps = []
+        have = 0
+        for so in sorted(ent["segs"]):
+            if so > have:
+                gaps.append((have, so - 1))
+            have = max(have, so + len(ent["segs"][so]))
+        if ent["total"] is None:
+            gaps.append((have, SO_END_OF_SDU))
+        elif have < ent["total"]:
+            gaps.append((have, ent["total"] - 1))
+        return gaps
+
+    # ------------------------------------------------------------- STATUS TX
 
     def status_pdu(self) -> bytes | None:
-        """Emit STATUS if triggered and not prohibited (constructStatusPDU:1219)."""
+        """Emit STATUS if triggered and not prohibited (constructStatusPDU:1219).
+
+        ACK_SN = highest seen + 1; NACKs list missing SNs and missing byte
+        ranges of partially received SNs (SO-based NACK ranges,
+        amEntity.m:1219-1311)."""
         if not self.status_trigger or self.status_prohibit > 0:
             return None
         self.status_trigger = False
         self.status_prohibit = self.t_status_prohibit
-        # ACK_SN = next expected beyond highest received contiguous span
         pending = sorted(
-            s for s in self.rx_store
-            if 0 < (s - self.rx_next) % self.sn_mod < self.sn_mod // 2
+            self.rx_segs, key=lambda s: (s - self.rx_next) % self.sn_mod
         )
         ack_sn = ((pending[-1] + 1) % self.sn_mod) if pending else self.rx_next
-        nacks = []
+        out = bytearray([(ack_sn >> 8) & 0xF, ack_sn & 0xFF])
         sn = self.rx_next
-        while sn != ack_sn and len(nacks) < 32:
-            if sn not in self.rx_store:
-                nacks.append(sn)
+        n_nack = 0
+        while sn != ack_sn and n_nack < 32:
+            if sn not in self.rx_segs:
+                out += bytes([(sn >> 8) & 0xF, sn & 0xFF])
+                n_nack += 1
+            elif not self._complete(sn):
+                for so0, so1 in self._missing_ranges(sn):
+                    out += bytes([0x80 | ((sn >> 8) & 0xF), sn & 0xFF,
+                                  (so0 >> 8) & 0xFF, so0 & 0xFF,
+                                  (so1 >> 8) & 0xFF, so1 & 0xFF])
+                    n_nack += 1
             sn = (sn + 1) % self.sn_mod
-        out = bytes([((ack_sn >> 8) & 0xF), ack_sn & 0xFF])
-        for n in nacks:
-            out += bytes([(n >> 8) & 0xF, n & 0xFF])
         self.stats.status_tx += 1
-        return out
+        return bytes(out)
+
+    # ------------------------------------------------------------- STATUS RX
+
+    def _receive_status(self, pdu: bytes):
+        """decodeStatusPDU:1311 — release acked, queue NACKed ranges."""
+        self.stats.status_rx += 1
+        ack_sn = ((pdu[0] & 0xF) << 8) | pdu[1]
+        nacks = []  # (sn, so0, so1)
+        i = 2
+        while i + 1 < len(pdu):
+            has_so = bool(pdu[i] & 0x80)
+            sn = ((pdu[i] & 0xF) << 8) | pdu[i + 1]
+            i += 2
+            if has_so:
+                so0 = (pdu[i] << 8) | pdu[i + 1]
+                so1 = (pdu[i + 2] << 8) | pdu[i + 3]
+                i += 4
+                nacks.append((sn, so0, so1))
+            else:
+                nacks.append((sn, 0, SO_END_OF_SDU))
+        nack_sns = {n[0] for n in nacks}
+        # release fully acked SNs in [tx_next_ack, ack_sn)
+        sn = self.tx_next_ack
+        guard = 0
+        while sn != ack_sn and guard < self.sn_mod:
+            if sn not in nack_sns:
+                self.tx_buffer.pop(sn, None)
+                self.retx_count.pop(sn, None)
+            sn = (sn + 1) % self.sn_mod
+            guard += 1
+        # advance tx_next_ack to the earliest still-outstanding SN
+        if nacks:
+            self.tx_next_ack = min(
+                nack_sns, key=lambda s: (s - self.tx_next_ack) % self.sn_mod
+            )
+        else:
+            self.tx_next_ack = ack_sn
+        for sn, so0, so1 in nacks:
+            if sn not in self.tx_buffer:
+                continue
+            c = self.retx_count.get(sn, 0) + 1
+            self.retx_count[sn] = c
+            if c > self.max_retx:
+                self.tx_buffer.pop(sn, None)  # maxRetx reached -> drop
+                self.retx_queue = deque(e for e in self.retx_queue if e[0] != sn)
+                self.stats.dropped += 1
+                continue
+            if not any(e[0] == sn and e[1] <= so0 for e in self.retx_queue):
+                self.retx_queue.append((sn, so0, so1))
+        self.poll_retx_timer = -1
+
+    # ---------------------------------------------------------------- timers
 
     def tick_1ms(self):
         if self.status_prohibit > 0:
             self.status_prohibit -= 1
+        if self.rx_timer > 0:
+            self.rx_timer -= 1
+            if self.rx_timer == 0:
+                # reassembly timer expiry: demand retransmission via STATUS
+                self.status_trigger = True
+                self.rx_timer = self.t_reassembly if self.rx_segs else -1
         if self.poll_retx_timer > 0:
             self.poll_retx_timer -= 1
             if self.poll_retx_timer == 0:
-                # t-PollRetransmit expiry: retransmit highest unacked (pollRetransmitTimerExpiry:860)
+                # t-PollRetransmit expiry: retransmit highest unacked
+                # (pollRetransmitTimerExpiry:860)
                 if self.tx_buffer:
                     sn = max(
                         self.tx_buffer,
                         key=lambda s: (s - self.tx_next_ack) % self.sn_mod,
                     )
-                    if sn not in self.retx_queue:
-                        self.retx_queue.append(sn)
+                    if not any(e[0] == sn for e in self.retx_queue):
+                        self.retx_queue.append((sn, 0, SO_END_OF_SDU))

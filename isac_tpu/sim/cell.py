@@ -213,8 +213,12 @@ class CellSimulator:
             slot_duration_s=self.carrier.slot_duration_s,
         )
         mk_rlc = (lambda: AMEntity()) if rlc_mode == "AM" else (lambda: UMEntity())
-        self.rlc_dl = [mk_rlc() for _ in range(self.n_ues)]  # tx @ gNB, rx @ UE
-        self.rlc_ul = [mk_rlc() for _ in range(self.n_ues)]  # tx @ UE, rx @ gNB
+        # TWO-ENDED bearer per UE (the r1 loopback shared one object between
+        # TX and RX — VERDICT #8 / ADVICE #2): the gNB-end entity transmits DL
+        # SDUs and receives UL PDUs + DL STATUS; the UE-end entity the reverse
+        # (amEntity objects per node, +rlcLayer/amEntity.m:324).
+        self.rlc_gnb = [mk_rlc() for _ in range(self.n_ues)]
+        self.rlc_ue = [mk_rlc() for _ in range(self.n_ues)]
         self.lcp_dl = [self._mk_lcp() for _ in range(self.n_ues)]
         self.lcp_ul = [self._mk_lcp() for _ in range(self.n_ues)]
         tp = cell.traffic
@@ -300,25 +304,45 @@ class CellSimulator:
 
     # ---------------------------------------------------------------- MAC/RLC
 
+    def _rlc_buffer(self, rlc) -> int:
+        """Buffer-status incl. a pending AM STATUS PDU (it needs grant bytes
+        on the reverse link even when no data waits)."""
+        n = rlc.buffer_status()
+        if getattr(rlc, "status_trigger", False):
+            n += 16
+        return n
+
     def _build_tb(self, ue: int, direction: str, tbs_bits: int) -> tuple:
-        """LCP + RLC PDUs + MAC multiplexing -> (tb_bits int8 array, sdu_bytes)."""
+        """LCP + RLC PDUs + MAC multiplexing -> (tb_bits int8 array, sdu_bytes).
+
+        The transmitting end's AM STATUS PDU (acknowledging the REVERSE
+        direction's data) rides first in-band on the same logical channel —
+        the reference's control-PDU-over-the-bearer path."""
         tb_bytes = tbs_bits // 8
-        rlc = (self.rlc_dl if direction == "DL" else self.rlc_ul)[ue]
+        rlc = (self.rlc_gnb if direction == "DL" else self.rlc_ue)[ue]
         lcp = (self.lcp_dl if direction == "DL" else self.lcp_ul)[ue]
         # conservative MAC subheader reserve: 3 bytes per ~1400-byte PDU + slack
         budget = max(tb_bytes - 3 * (2 + tb_bytes // 1400) - 2, 0)
+        pdus = []
+        if budget > 4 and hasattr(rlc, "status_pdu"):
+            sp = rlc.status_pdu()
+            if sp is not None:
+                pdus.append(sp)
+                budget -= len(sp)
         served = lcp.allocate(budget, {DEFAULT_LCID: rlc.buffer_status()})
-        pdus = rlc.send_pdus(served.get(DEFAULT_LCID, 0)) if budget else []
+        if budget > 0:
+            pdus += rlc.send_pdus(served.get(DEFAULT_LCID, 0))
         sdus = [(DEFAULT_LCID, p) for p in pdus]
         pdu = build_mac_pdu(sdus, tb_bytes)
         bits = np.unpackbits(np.frombuffer(pdu, np.uint8))[:tbs_bits]
         return jnp.asarray(bits.astype(np.int8)), sum(len(p) for p in pdus)
 
     def _deliver_tb(self, ue: int, direction: str, tb_bits: np.ndarray):
-        """Receiver MAC/RLC: parse PDU, reassemble SDUs, count goodput."""
+        """Receiver MAC/RLC at the PEER end: parse PDU, reassemble SDUs (and
+        dispatch in-band STATUS to the entity's TX side), count goodput."""
         by = np.packbits(np.asarray(tb_bits, np.uint8))
         parsed = parse_mac_pdu(bytes(by.tobytes()))
-        rlc = (self.rlc_dl if direction == "DL" else self.rlc_ul)[ue]
+        rlc = (self.rlc_ue if direction == "DL" else self.rlc_gnb)[ue]
         for lcid, pdu in parsed["sdus"]:
             for sdu in rlc.receive_pdu(pdu):
                 self.metrics.on_sdu_delivered(direction, ue, len(sdu))
@@ -327,15 +351,15 @@ class CellSimulator:
         """APP traffic generation + RLC/LCP timers (node.m advanceTimer:359-384)."""
         for u in range(self.n_ues):
             for pkt in self.traffic_dl[u].generate(ms):
-                self.rlc_dl[u].enqueue_sdu(pkt)
+                self.rlc_gnb[u].enqueue_sdu(pkt)
             for pkt in self.traffic_ul[u].generate(ms):
-                self.rlc_ul[u].enqueue_sdu(pkt)
+                self.rlc_ue[u].enqueue_sdu(pkt)
             self.lcp_dl[u].tick_1ms()
             self.lcp_ul[u].tick_1ms()
-            self.rlc_dl[u].tick_1ms()
-            self.rlc_ul[u].tick_1ms()
+            self.rlc_gnb[u].tick_1ms()
+            self.rlc_ue[u].tick_1ms()
             # gNB sees its own DL RLC queues directly (node.m RLC<->MAC glue)
-            self.scheduler.update_buffer(u, "DL", self.rlc_dl[u].buffer_status())
+            self.scheduler.update_buffer(u, "DL", self._rlc_buffer(self.rlc_gnb[u]))
 
     # --------------------------------------------------------------- feedback
 
@@ -699,7 +723,7 @@ class CellSimulator:
                 for u in range(self.n_ues):
                     if slot % self.bsr_period == 0 or self.scheduler.ues[u].ul_buffer == 0:
                         self.scheduler.update_buffer(
-                            u, "UL", self.rlc_ul[u].buffer_status()
+                            u, "UL", self._rlc_buffer(self.rlc_ue[u])
                         )
             if sounding:
                 if self.fast_csi:

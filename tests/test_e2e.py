@@ -69,3 +69,24 @@ def test_multi_ue_sensing_rmse(multi_ue_result):
     assert rmse["velRMSE"] < 2 * p.v_res, rmse
     assert rmse["aziRMSE"] < 3.0, rmse
     assert np.isnan(rmse["eleRMSE"])  # ULA: no elevation estimate
+
+
+def test_single_link_am_mode_delivers_and_drains():
+    """Full-stack AM run (VERDICT #8): STATUS PDUs ride the reverse link
+    in-band, NACK-driven retransmission recovers CRC losses, and the AM tx
+    windows drain (bounded tx_buffer — the r1 loopback grew unboundedly)."""
+    sim = single_link(SimulationParameters())
+    cells = assign_cell_parameters(sim)
+    cs = CellSimulator(cells[0], n_rb_override=51, nfft_override=1024, rlc_mode="AM")
+    res = cs.run()
+    comm = res["communication"]
+    assert comm["ueDLAppGoodputMbps"][0] > 2.0, comm["ueDLAppGoodputMbps"]
+    assert comm["ueULAppGoodputMbps"][0] > 0.2, comm["ueULAppGoodputMbps"]
+    gnb, ue = cs.rlc_gnb[0], cs.rlc_ue[0]
+    # the DL-direction STATUS loop ran: UE acked over the UL in-band, gNB
+    # consumed it (UL carries too few PDUs in one frame to solicit a poll)
+    assert ue.stats.status_tx > 0 and gnb.stats.status_rx > 0
+    # tx windows bounded: unacked backlog << everything ever sent
+    assert len(gnb.tx_buffer) < 64, len(gnb.tx_buffer)
+    assert len(ue.tx_buffer) < 64, len(ue.tx_buffer)
+    assert ue.stats.rx_sdus > 20  # DL SDUs reassembled at the UE end

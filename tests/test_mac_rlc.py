@@ -206,3 +206,78 @@ def test_traffic_models_produce_packets():
     vc = VideoConferenceTraffic(seed=4)
     pkts = [p for _ in range(100) for p in vc.generate(1.0)]
     assert len(pkts) > 0
+
+
+def test_rlc_am_tx_segmentation_roundtrip():
+    """A big SDU segments across many small grants and reassembles in order
+    (amEntity.m retransmitSegment:721 segmentation semantics)."""
+    tx, rx = AMEntity(), AMEntity()
+    sdu = bytes(range(256)) * 8  # 2048 B
+    tx.enqueue_sdu(sdu)
+    delivered = []
+    for _ in range(40):
+        for p in tx.send_pdus(120):
+            delivered.extend(rx.receive_pdu(p))
+    assert delivered == [sdu]
+    # ack the transmission so the buffer drains
+    rx.status_trigger = True
+    tx.receive_pdu(rx.status_pdu())
+    assert not tx.tx_buffer
+
+
+def test_rlc_am_so_nack_retransmits_only_missing_range():
+    """Losing one MIDDLE segment produces an SO-range NACK and the tx resends
+    only that byte range (amEntity.m constructStatusPDU:1219-1311)."""
+    tx, rx = AMEntity(), AMEntity()
+    sdu = bytes([7]) * 900
+    tx.enqueue_sdu(sdu)
+    pdus = []
+    for _ in range(10):
+        pdus += tx.send_pdus(300)
+    assert len(pdus) >= 3
+    delivered = []
+    for i, p in enumerate(pdus):
+        if i != 1:  # drop the second segment
+            delivered.extend(rx.receive_pdu(p))
+    assert delivered == []
+    rx.status_trigger = True
+    status = rx.status_pdu()
+    tx.receive_pdu(status)
+    retx = tx.send_pdus(10000)
+    assert len(retx) >= 1
+    # the retransmission is a byte range, far smaller than the whole SDU
+    assert sum(len(p) for p in retx) < len(sdu)
+    for p in retx:
+        delivered.extend(rx.receive_pdu(p))
+    assert delivered == [sdu]
+    assert tx.stats.retx_pdus >= 1
+
+
+def test_rlc_am_lossy_channel_recovery_and_bounded_buffer():
+    """Sustained traffic over a 20%-loss pipe: every SDU is eventually
+    delivered in order and the tx window keeps draining (VERDICT #8 'bounded
+    tx_buffer' criterion)."""
+    import random
+
+    rng = random.Random(7)
+    a, b = AMEntity(poll_pdu=4, t_poll_retransmit_ms=3, t_status_prohibit_ms=1), AMEntity()
+    msgs = [bytes([i % 256]) * rng.randint(20, 300) for i in range(60)]
+    for m in msgs:
+        a.enqueue_sdu(m)
+    delivered = []
+    for step in range(400):
+        # a -> b data (lossy)
+        for p in a.send_pdus(400):
+            if rng.random() > 0.2:
+                delivered.extend(b.receive_pdu(p))
+        # b -> a status (lossless reverse link)
+        sp = b.status_pdu()
+        if sp is not None:
+            a.receive_pdu(sp)
+        a.tick_1ms()
+        b.tick_1ms()
+        if len(delivered) == len(msgs) and not a.tx_buffer:
+            break
+    assert delivered == msgs
+    assert not a.tx_buffer  # fully acked -> bounded window
+    assert a.stats.retx_pdus > 0 and b.stats.status_tx > 0
