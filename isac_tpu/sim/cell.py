@@ -39,6 +39,8 @@ from isac_tpu.mac.lcp import LCPState, LogicalChannel
 from isac_tpu.mac.pdu import build_mac_pdu, parse_mac_pdu
 from isac_tpu.mac.scheduler import Grant, Scheduler
 from isac_tpu.metrics.kpi import CellMetrics, peak_spectral_efficiency
+from isac_tpu.metrics.logger import MacPcapWriter, SchedulingLogger
+from isac_tpu.phy.passthrough import CQIWalk, passthrough_crc
 from isac_tpu.ops.cdl import (
     _freq_response_jit,
     apply_channel_freq,
@@ -98,6 +100,8 @@ class CellSimulator:
         enable_sensing: bool = True,
         doa_method: str = "music",
         fast_csi: bool = False,
+        phy_mode: str = "full",
+        pcap_path: str | None = None,
     ):
         self.cell = cell
         gnb = cell.gnb
@@ -116,7 +120,14 @@ class CellSimulator:
         self.n_ues = cell.ue_positions.shape[0]
         self.num_slots = cell.num_slots
         self.n_ldpc_iter = n_ldpc_iter
-        self.enable_sensing = enable_sensing and cell.target_positions.shape[0] > 0
+        # pass-through PHY (gNBPassThroughPhy.m): statistical CRC, no
+        # waveform — no grid exists to feed the radar, so sensing is off
+        self.passthrough = phy_mode == "passthrough"
+        if phy_mode not in ("full", "passthrough"):
+            raise ValueError(f"phy_mode must be 'full'|'passthrough', got {phy_mode!r}")
+        self.enable_sensing = (
+            enable_sensing and cell.target_positions.shape[0] > 0 and not self.passthrough
+        )
         self.doa_method = doa_method
         self.key = jax.random.PRNGKey(seed)
         self.rng = np.random.default_rng(seed)
@@ -253,6 +264,16 @@ class CellSimulator:
             bandwidth_hz=gnb.dl_bandwidth,
             duration_s=self.num_slots * self.carrier.slot_duration_s,
         )
+        # observability surfaces (schedulingLogger/phyLogger/gridVisualizer)
+        self.sched_log = SchedulingLogger(self.num_slots, self.n_ues, self.n_rb)
+        self.pcap = (
+            MacPcapWriter(pcap_path, tdd=gnb.duplex_mode == "TDD")
+            if pcap_path
+            else None
+        )
+        self._cqi_walk = (
+            CQIWalk(self.n_ues, self.n_rb, seed=seed + 17) if self.passthrough else None
+        )
 
     # ------------------------------------------------------------------ setup
 
@@ -312,7 +333,8 @@ class CellSimulator:
             n += 16
         return n
 
-    def _build_tb(self, ue: int, direction: str, tbs_bits: int) -> tuple:
+    def _build_tb(self, ue: int, direction: str, tbs_bits: int,
+                  grant: Grant | None = None) -> tuple:
         """LCP + RLC PDUs + MAC multiplexing -> (tb_bits int8 array, sdu_bytes).
 
         The transmitting end's AM STATUS PDU (acknowledging the REVERSE
@@ -334,6 +356,15 @@ class CellSimulator:
             pdus += rlc.send_pdus(served.get(DEFAULT_LCID, 0))
         sdus = [(DEFAULT_LCID, p) for p in pdus]
         pdu = build_mac_pdu(sdus, tb_bytes)
+        if self.pcap is not None and grant is not None:
+            # nrPCAPWriter path (gNBPhy.m logPackets:1082-1115)
+            self.pcap.write(
+                pdu, rnti=grant.rnti, ueid=ue, harq_id=grant.harq_id,
+                frame=grant.slot // self.carrier.slots_per_frame,
+                slot=grant.slot % self.carrier.slots_per_frame,
+                is_dl=direction == "DL",
+                t_s=grant.slot * self.carrier.slot_duration_s,
+            )
         bits = np.unpackbits(np.frombuffer(pdu, np.uint8))[:tbs_bits]
         return jnp.asarray(bits.astype(np.int8)), sum(len(p) for p in pdus)
 
@@ -378,6 +409,7 @@ class CellSimulator:
                 self.scheduler.update_dl_csi(
                     p.ue, p.payload["cqi_rb"], p.payload["rank"], p.payload["pmi_sb"]
                 )
+                self.sched_log.log_csi(slot, "DL", p.ue, p.payload["cqi_rb"])
 
     # ------------------------------------------------------------------- CSI
 
@@ -425,6 +457,7 @@ class CellSimulator:
         cqi_sb = np.asarray(sinr_to_cqi(sinr_db_sb, SINR_TO_CQI_UL))
         cqi_rb = cqi_sb[sb_of_re]
         self.scheduler.update_ul_csi(ue, cqi_rb, rank, int(tpmi))
+        self.sched_log.log_csi(slot, "UL", ue, cqi_rb)
 
     def _srs_measure(self, ue: int, slot: int):
         """fast_csi path: truth + noise at sampled SRS REs."""
@@ -528,13 +561,67 @@ class CellSimulator:
             return sg, stored["tb"]
         g.tbs = true_tbs
         harq.tbs[g.ue, g.harq_id] = true_tbs
-        tb, _ = self._build_tb(g.ue, g.direction, true_tbs)
+        tb, _ = self._build_tb(g.ue, g.direction, true_tbs, grant=g)
         harq.payload[(g.ue, g.harq_id)] = {
             "tb": tb, "n_layers": g.n_layers, "pmi_sb": g.pmi_sb, "tpmi": g.tpmi,
         }
         return sg, tb
 
+    def _passthrough_slot(self, slot: int, direction: str, n_sym: int):
+        """Statistical PHY slot (gNBPassThroughPhy.m): same scheduler/HARQ/RLC
+        path, CRC by Bernoulli draw from the CQI/MCS margin, zero device work."""
+        grants = self.scheduler.schedule_slot(slot, direction, n_sym=n_sym)
+        harq = self.scheduler.harq_dl if direction == "DL" else self.scheduler.harq_ul
+        for g in grants:
+            prep = self._prepare_tx(g, harq, n_sym)
+            if prep is None:
+                continue
+            _, tb = prep
+            self.metrics.on_tx(direction, g.ue, g.tbs, g.is_retx)
+            self.sched_log.log_grant(
+                slot, direction, g.ue, g.prb_set, g.mcs, g.tbs, g.rv,
+                g.harq_id, g.n_layers, g.is_retx,
+            )
+            u = self.scheduler.ues[g.ue]
+            cqi = u.dl_cqi_rb if direction == "DL" else u.ul_cqi_rb
+            avg_cqi = float(np.mean(cqi[list(g.prb_set)]))
+            ok = passthrough_crc(
+                self.rng, g.mcs, avg_cqi,
+                int(harq.tx_count[g.ue, g.harq_id]), self.scheduler.mcs_table,
+            )
+            self.metrics.on_crc(direction, g.ue, g.tbs, ok)
+            self.sched_log.log_crc(slot, direction, g.ue, ok)
+            if ok:
+                self._deliver_tb(g.ue, direction, np.asarray(tb))
+            if direction == "DL":
+                self.pending.append(
+                    _PendingFeedback(
+                        due_slot=self._next_ul_slot(slot), kind="harq_dl",
+                        ue=g.ue, payload={"harq_id": g.harq_id, "ack": ok},
+                    )
+                )
+            else:
+                res = self.scheduler.harq_feedback(g.ue, "UL", g.harq_id, ok)
+                if res == "drop":
+                    self.metrics.on_harq_drop("UL", g.ue)
+
     def _dl_slot(self, slot: int, n_sym: int, csi_slot: bool = False):
+        if self.passthrough:
+            self._passthrough_slot(slot, "DL", n_sym)
+            if csi_slot:
+                # emulated CQI variation (uePassThroughPhy.m), via the normal
+                # out-of-band report path with k1 latency
+                for u in range(self.n_ues):
+                    self.pending.append(
+                        _PendingFeedback(
+                            due_slot=self._next_ul_slot(slot), kind="csi", ue=u,
+                            payload={
+                                "cqi_rb": self._cqi_walk.report(u), "rank": 1,
+                                "pmi_sb": np.zeros(max(self.n_rb // 4, 1), np.int32),
+                            },
+                        )
+                    )
+            return
         grants = self.scheduler.schedule_slot(slot, "DL", n_sym=n_sym)
         harq = self.scheduler.harq_dl
         reserved = self.csirs_reserved if (csi_slot and not self.fast_csi) else ()
@@ -550,6 +637,10 @@ class CellSimulator:
             port_grid = grid_u if port_grid is None else port_grid + grid_u
             per_ue.append((g, sg, tb))
             self.metrics.on_tx("DL", g.ue, g.tbs, g.is_retx)
+            self.sched_log.log_grant(
+                slot, "DL", g.ue, g.prb_set, g.mcs, g.tbs, g.rv, g.harq_id,
+                g.n_layers, g.is_retx,
+            )
 
         if csi_slot and not self.fast_csi:
             # transmit the CSI-RS through the same grid: PDSCH rate-matches
@@ -595,6 +686,7 @@ class CellSimulator:
             out = sch_receive(rx, sg, soft_buffers=bufs, n_ldpc_iter=self.n_ldpc_iter)
             ok = bool(out["crc_ok"])
             self.metrics.on_crc("DL", g.ue, g.tbs, ok)
+            self.sched_log.log_crc(slot, "DL", g.ue, ok)
             if ok:
                 self._deliver_tb(g.ue, "DL", np.asarray(out["tb"]))
                 self.rx_soft_bufs.pop(("DL", g.ue, g.harq_id), None)
@@ -624,6 +716,8 @@ class CellSimulator:
                     self._csirs_measure_rx(u, rx_for(u), slot)
 
     def _ul_slot(self, slot: int, n_sym: int):
+        if self.passthrough:
+            return self._passthrough_slot(slot, "UL", n_sym)
         grants = self.scheduler.schedule_slot(slot, "UL", n_sym=n_sym)
         harq = self.scheduler.harq_ul
         for g in grants:
@@ -632,6 +726,10 @@ class CellSimulator:
                 continue
             sg, tb = prep
             self.metrics.on_tx("UL", g.ue, g.tbs, g.is_retx)
+            self.sched_log.log_grant(
+                slot, "UL", g.ue, g.prb_set, g.mcs, g.tbs, g.rv, g.harq_id,
+                g.n_layers, g.is_retx,
+            )
             cb = pusch_codebook(self.n_ue_ants, g.n_layers)
             w = jnp.asarray(cb[g.tpmi % cb.shape[0]])
             grid_u, _ = sch_transmit(tb, sg, w=w)
@@ -646,6 +744,7 @@ class CellSimulator:
             out = sch_receive(rx, sg, soft_buffers=bufs, n_ldpc_iter=self.n_ldpc_iter)
             ok = bool(out["crc_ok"])
             self.metrics.on_crc("UL", g.ue, g.tbs, ok)
+            self.sched_log.log_crc(slot, "UL", g.ue, ok)
             if ok:
                 self._deliver_tb(g.ue, "UL", np.asarray(out["tb"]))
                 self.rx_soft_bufs.pop(("UL", g.ue, g.harq_id), None)
@@ -726,7 +825,12 @@ class CellSimulator:
                             u, "UL", self._rlc_buffer(self.rlc_ue[u])
                         )
             if sounding:
-                if self.fast_csi:
+                if self.passthrough:
+                    for u in sounding:  # emulated UL CQI walk
+                        cqi = self._cqi_walk.report(u)
+                        self.scheduler.update_ul_csi(u, cqi, 1, 0)
+                        self.sched_log.log_csi(slot, "UL", u, cqi)
+                elif self.fast_csi:
                     for u in sounding:
                         self._srs_measure(u, slot)
                 else:
@@ -742,4 +846,13 @@ class CellSimulator:
             ),
         )
         sensing = self.run_sensing() if self.enable_sensing else None
-        return {"communication": comm, "sensing": sensing, "cell": self.cell.name}
+        if self.pcap is not None:
+            self.pcap.save()
+        out = {"communication": comm, "sensing": sensing, "cell": self.cell.name}
+        if (
+            self.cell.log.enable_traces
+            or self.cell.log.cqi_visualization
+            or self.cell.log.rb_visualization
+        ):
+            out["logs"] = self.sched_log.finalize()
+        return out
