@@ -288,36 +288,70 @@ class AMEntity:
 
     # ------------------------------------------------------------- STATUS TX
 
-    def status_pdu(self) -> bytes | None:
+    def status_pdu(self, budget: int | None = None, max_nack: int = 32) -> bytes | None:
         """Emit STATUS if triggered and not prohibited (constructStatusPDU:1219).
 
-        ACK_SN = highest seen + 1; NACKs list missing SNs and missing byte
-        ranges of partially received SNs (SO-based NACK ranges,
-        amEntity.m:1219-1311)."""
+        NACKs list missing SNs and missing byte ranges of partially received
+        SNs (SO-based NACK ranges, amEntity.m:1219-1311). `budget` bounds the
+        encoded PDU size (the reference passes remainingGrant into
+        constructStatusPDU). When the NACK scan is truncated — by `budget` or
+        by the `max_nack` cap — ACK_SN is set to the SN where the scan
+        stopped, NOT highest-seen+1: otherwise still-missing SNs beyond the
+        cap would be implicitly ACKed and released from the peer's tx_buffer
+        (amEntity.m constructStatusPDU: 'to avoid misinterpretation about
+        NACK SN to ACK SN'). A truncated STATUS leaves the trigger armed so
+        the remainder is reported once t-StatusProhibit expires."""
         if not self.status_trigger or self.status_prohibit > 0:
             return None
-        self.status_trigger = False
-        self.status_prohibit = self.t_status_prohibit
+        if budget is not None and budget < 2:
+            return None  # cannot even fit the ACK_SN header; keep trigger set
         pending = sorted(
             self.rx_segs, key=lambda s: (s - self.rx_next) % self.sn_mod
         )
-        ack_sn = ((pending[-1] + 1) % self.sn_mod) if pending else self.rx_next
-        out = bytearray([(ack_sn >> 8) & 0xF, ack_sn & 0xFF])
+        ack_limit = ((pending[-1] + 1) % self.sn_mod) if pending else self.rx_next
+        nack_bytes = bytearray()
         sn = self.rx_next
         n_nack = 0
-        while sn != ack_sn and n_nack < 32:
+        truncated = False
+        while sn != ack_limit:
             if sn not in self.rx_segs:
-                out += bytes([(sn >> 8) & 0xF, sn & 0xFF])
+                if n_nack + 1 > max_nack or (
+                    budget is not None and 2 + len(nack_bytes) + 2 > budget
+                ):
+                    truncated = True
+                    break
+                nack_bytes += bytes([(sn >> 8) & 0xF, sn & 0xFF])
                 n_nack += 1
             elif not self._complete(sn):
-                for so0, so1 in self._missing_ranges(sn):
-                    out += bytes([0x80 | ((sn >> 8) & 0xF), sn & 0xFF,
-                                  (so0 >> 8) & 0xFF, so0 & 0xFF,
-                                  (so1 >> 8) & 0xFF, so1 & 0xFF])
-                    n_nack += 1
+                # an SN's missing-range info must be emitted whole or the
+                # scan must stop BEFORE it: NACK_SN must stay < ACK_SN, so a
+                # partially reported SN cannot become the ACK_SN boundary
+                # (amEntity.m:1286-1289 'subStatusPDULen > grantLeft ->
+                # break'). To guarantee progress under small grants, merge
+                # trailing gaps into one wider range when the full list
+                # doesn't fit — conservative over-NACKing, never loss.
+                ranges = self._missing_ranges(sn)
+                n_fit = max_nack - n_nack
+                if budget is not None:
+                    n_fit = min(n_fit, (budget - 2 - len(nack_bytes)) // 6)
+                if n_fit <= 0:
+                    truncated = True
+                    break
+                if len(ranges) > n_fit:
+                    ranges = ranges[: n_fit - 1] + [
+                        (ranges[n_fit - 1][0], ranges[-1][1])
+                    ]
+                for so0, so1 in ranges:
+                    nack_bytes += bytes([0x80 | ((sn >> 8) & 0xF), sn & 0xFF,
+                                         (so0 >> 8) & 0xFF, so0 & 0xFF,
+                                         (so1 >> 8) & 0xFF, so1 & 0xFF])
+                n_nack += len(ranges)
             sn = (sn + 1) % self.sn_mod
+        ack_sn = sn if truncated else ack_limit
+        self.status_trigger = truncated
+        self.status_prohibit = self.t_status_prohibit
         self.stats.status_tx += 1
-        return bytes(out)
+        return bytes([(ack_sn >> 8) & 0xF, ack_sn & 0xFF]) + bytes(nack_bytes)
 
     # ------------------------------------------------------------- STATUS RX
 
@@ -355,17 +389,34 @@ class AMEntity:
             )
         else:
             self.tx_next_ack = ack_sn
+        # group ranges per SN: one STATUS may carry several ranges of one SN
+        by_sn: dict = {}
         for sn, so0, so1 in nacks:
+            by_sn.setdefault(sn, []).append((so0, so1))
+        for sn, ranges in by_sn.items():
             if sn not in self.tx_buffer:
                 continue
-            c = self.retx_count.get(sn, 0) + 1
-            self.retx_count[sn] = c
-            if c > self.max_retx:
-                self.tx_buffer.pop(sn, None)  # maxRetx reached -> drop
-                self.retx_queue = deque(e for e in self.retx_queue if e[0] != sn)
-                self.stats.dropped += 1
-                continue
-            if not any(e[0] == sn and e[1] <= so0 for e in self.retx_queue):
+            # RETX_COUNT is incremented only for SNs waiting-for-ACK, NOT for
+            # SNs already queued for retransmission and merely waiting on a
+            # grant (updateRetransmissionContext:1073 waiting-for-ACK vs
+            # retx-buffer split) — otherwise repeated t-Reassembly STATUSes
+            # for a grant-starved SN hit max_retx without a single real retx.
+            already_queued = any(e[0] == sn for e in self.retx_queue)
+            if not already_queued:
+                c = self.retx_count.get(sn, 0) + 1
+                self.retx_count[sn] = c
+                if c > self.max_retx:
+                    self.tx_buffer.pop(sn, None)  # maxRetx reached -> drop
+                    self.retx_queue = deque(
+                        e for e in self.retx_queue if e[0] != sn
+                    )
+                    self.stats.dropped += 1
+                    continue
+            # replace any queued ranges for this SN with the latest report
+            # (the reference replaces the retx context's segment ranges;
+            # keeping stale entries would suppress non-overlapping NACKs)
+            self.retx_queue = deque(e for e in self.retx_queue if e[0] != sn)
+            for so0, so1 in ranges:
                 self.retx_queue.append((sn, so0, so1))
         self.poll_retx_timer = -1
 

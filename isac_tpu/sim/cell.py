@@ -347,7 +347,11 @@ class CellSimulator:
         budget = max(tb_bytes - 3 * (2 + tb_bytes // 1400) - 2, 0)
         pdus = []
         if budget > 4 and hasattr(rlc, "status_pdu"):
-            sp = rlc.status_pdu()
+            # budget-bounded STATUS (the reference passes remainingGrant into
+            # constructStatusPDU); status_pdu truncates ACK_SN-correctly and
+            # keeps the trigger armed for the remainder, so the grant can
+            # never be overrun by an SO-NACK-heavy STATUS.
+            sp = rlc.status_pdu(budget=budget)
             if sp is not None:
                 pdus.append(sp)
                 budget -= len(sp)

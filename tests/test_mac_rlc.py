@@ -281,3 +281,102 @@ def test_rlc_am_lossy_channel_recovery_and_bounded_buffer():
     assert delivered == msgs
     assert not a.tx_buffer  # fully acked -> bounded window
     assert a.stats.retx_pdus > 0 and b.stats.status_tx > 0
+
+
+def test_rlc_am_status_truncation_sets_ack_sn_at_scan_stop():
+    """ADVICE r2 #1: a truncated NACK scan must set ACK_SN to where the scan
+    stopped (amEntity.m constructStatusPDU), not highest-seen+1 — otherwise
+    missing SNs beyond the cap are implicitly ACKed and lost forever."""
+    tx, rx = AMEntity(), AMEntity()
+    msgs = [bytes([i % 256]) * 10 for i in range(50)]
+    for m in msgs:
+        tx.enqueue_sdu(m)
+    pdus = tx.send_pdus(10**6)
+    assert len(pdus) == 50
+    # deliver only the last PDU: SNs 0..48 all missing (49 > 32-NACK cap)
+    rx.receive_pdu(pdus[-1])
+    status = rx.status_pdu()
+    assert status is not None
+    ack_sn = ((status[0] & 0xF) << 8) | status[1]
+    assert ack_sn == 32  # scan stopped at the NACK cap
+    assert rx.status_trigger  # remainder still owed
+    tx.receive_pdu(status)
+    # SNs >= 32 must NOT have been released from the tx buffer
+    for sn in range(32, 49):
+        assert sn in tx.tx_buffer, sn
+    # after prohibit expires the rest is reported and everything recovers
+    delivered = []
+    for _ in range(40):
+        for p in tx.send_pdus(10**6):
+            delivered.extend(rx.receive_pdu(p))
+        sp = rx.status_pdu()
+        if sp is not None:
+            tx.receive_pdu(sp)
+        tx.tick_1ms()
+        rx.tick_1ms()
+        if len(delivered) == 50:
+            break
+    # SN 49 arrived pre-loop, so filling the gap delivers ALL 50 in order
+    assert b"".join(delivered) == b"".join(msgs)
+
+
+def test_rlc_am_status_respects_byte_budget():
+    """ADVICE r2 #3: status_pdu(budget=N) never emits more than N bytes."""
+    tx, rx = AMEntity(), AMEntity()
+    for i in range(40):
+        tx.enqueue_sdu(bytes([i]) * 10)
+    pdus = tx.send_pdus(10**6)
+    rx.receive_pdu(pdus[-1])  # 39 missing SNs
+    status = rx.status_pdu(budget=12)
+    assert status is not None and len(status) <= 12
+    assert rx.status_trigger  # truncated -> trigger stays armed
+    # ACK_SN == number of whole-SN NACKs that fit: (12-2)//2 = 5
+    ack_sn = ((status[0] & 0xF) << 8) | status[1]
+    assert ack_sn == 5
+    # tiny budget: no PDU at all, trigger preserved
+    rx2 = AMEntity()
+    rx2.status_trigger = True
+    assert rx2.status_pdu(budget=1) is None
+    assert rx2.status_trigger
+
+
+def test_rlc_am_retx_count_not_inflated_while_grant_starved():
+    """ADVICE r2 #2: repeated NACKs for an SN already queued for retx must
+    not advance retx_count toward the max_retx drop."""
+    tx, rx = AMEntity(max_retx=3), AMEntity()
+    tx.enqueue_sdu(b"x" * 50)
+    pdus = tx.send_pdus(10**6)
+    assert len(pdus) == 1
+    # PDU lost; receiver learns of the gap via a later SN
+    tx.enqueue_sdu(b"y" * 50)
+    rx.receive_pdu(tx.send_pdus(10**6)[0])
+    # 10 consecutive STATUSes NACKing SN 0 while tx gets no grant
+    for _ in range(10):
+        rx.status_trigger = True
+        rx.status_prohibit = 0
+        tx.receive_pdu(rx.status_pdu())
+    assert tx.retx_count.get(0, 0) <= 1  # only the first NACK counted
+    assert 0 in tx.tx_buffer  # never dropped
+    # grant arrives: retransmission drains and delivery completes
+    delivered = []
+    for p in tx.send_pdus(10**6):
+        delivered.extend(rx.receive_pdu(p))
+    assert delivered == [b"x" * 50, b"y" * 50]
+
+
+def test_rlc_am_nonoverlapping_nack_ranges_replace_queued_entry():
+    """ADVICE r2 #4: a NACK for a different byte range of an SN already in
+    the retx queue must update the queued ranges, not be suppressed."""
+    tx = AMEntity()
+    tx.enqueue_sdu(bytes(range(200)))
+    tx.send_pdus(10**6)
+    assert 0 in tx.tx_buffer
+    # first STATUS: NACK range [0,49] of SN 0
+    tx.retx_queue.append((0, 0, 49))
+    tx.retx_count[0] = 1
+    # later STATUS reports rng [100,199] missing instead
+    status = bytes([0, 1,                      # ACK_SN = 1
+                    0x80, 0, 0, 100, 0, 199])  # NACK SN 0 SO 100..199
+    tx.receive_pdu(status)
+    assert list(tx.retx_queue) == [(0, 100, 199)]
+    assert tx.retx_count[0] == 1  # no double count: SN was already queued
