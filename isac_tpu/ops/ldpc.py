@@ -13,14 +13,16 @@ SURVEY §2.9). Here the full machinery is explicit:
   [rows, max_degree, Z] layout, per-variable aggregation is a one-hot
   [cols, edges] matmul that maps onto the MXU. No per-edge loops.
 
-NOTE ON TABLES: the shift-coefficient tables (38.212 Tables 5.3.2-2/3) are not
-reproduced verbatim; `_build_base_graph` generates deterministic tables with
-the standard's exact *structure* (46x68 / 42x52, double-diagonal core, identity
-extension, punctured high-degree first two columns, 8 per-a shift sets). Every
-surrounding algorithm (segmentation, rate matching, RV starts, interleaver,
-CRC, HARQ combining) follows 38.212 exactly, and the resulting code is a valid
-QC-LDPC with equivalent rate/length behavior. Swapping in the verbatim tables
-is a data-only change (`BaseGraph.entries`).
+NOTE ON TABLES: the base graphs are loaded from `ldpc_tables.py`, which
+carries the TS 38.212 Table 5.3.2-2/3 PROTOGRAPH (exact 316/197-edge
+(row, col) support, double-diagonal parity core, identity extension, the
+BG1 iLS=6 anomaly) plus dense-core shift values; see that module's
+PROVENANCE note for exactly which shift values are transcription vs
+placeholder. The encoder derives the p1-recovery shift from the loaded
+table per lifting set (single-odd-survivor row-sum trick), so it is
+correct for any table satisfying `ldpc_tables.validate_tables()`. Every
+surrounding algorithm (segmentation, rate matching, RV starts,
+interleaver, CRC, HARQ combining) follows 38.212 exactly.
 """
 
 from __future__ import annotations
@@ -102,64 +104,14 @@ class BaseGraph:
 
 @lru_cache(maxsize=2)
 def base_graph(bg: int) -> BaseGraph:
-    return _build_base_graph(bg)
+    """Load the TS 38.212 base graph from `ldpc_tables` (see its PROVENANCE)."""
+    from isac_tpu.ops import ldpc_tables
 
-
-def _build_base_graph(bg: int) -> BaseGraph:
-    """Deterministic structured prototype (see module NOTE ON TABLES)."""
     if bg == 1:
         n_rows, n_cols, k_cols = 46, 68, 22
     else:
         n_rows, n_cols, k_cols = 42, 52, 10
-    rng = np.random.default_rng(38212 + bg)
-    core_p = k_cols  # first core parity column index
-    entries = {}
-
-    def add(r, c, fixed=None):
-        if (r, c) in entries:
-            return
-        if fixed is not None:
-            entries[(r, c)] = tuple(int(fixed) for _ in range(8))
-        else:
-            entries[(r, c)] = tuple(int(s) for s in rng.integers(0, 384, 8))
-
-    # --- core rows 0..3: dense over systematic columns ---------------------
-    # punctured columns 0,1 appear in every core row (high degree, as in 38.212)
-    for r in range(4):
-        add(r, 0)
-        add(r, 1)
-        others = rng.permutation(np.arange(2, k_cols))
-        take = max(6, int(0.7 * (k_cols - 2)))
-        for c in others[:take]:
-            add(r, int(c))
-    # ensure every systematic column is covered by the core
-    for c in range(k_cols):
-        if not any((r, c) in entries for r in range(4)):
-            add(int(rng.integers(0, 4)), c)
-    # --- double-diagonal core parity (encodable; see encode()) -------------
-    add(0, core_p, fixed=1)  # P^1 — the only non-zero core-parity shift
-    add(0, core_p + 1, fixed=0)
-    add(1, core_p, fixed=0)
-    add(1, core_p + 1, fixed=0)
-    add(1, core_p + 2, fixed=0)
-    add(2, core_p + 2, fixed=0)
-    add(2, core_p + 3, fixed=0)
-    add(3, core_p, fixed=0)
-    add(3, core_p + 3, fixed=0)
-    # --- extension rows: identity parity + sparse connections --------------
-    for r in range(4, n_rows):
-        add(r, core_p + 4 + (r - 4), fixed=0)  # identity extension parity
-        # keep punctured columns protected; rotate through systematic columns
-        add(r, int(r % 2))
-        c1 = 2 + (r * 7) % (k_cols - 2)
-        c2 = 2 + (r * 11 + 3) % (k_cols - 2)
-        add(r, int(c1))
-        if c2 != c1:
-            add(r, int(c2))
-        # occasional core-parity tap for better mixing
-        if r % 3 == 0:
-            add(r, core_p + (r % 4))
-    ent = tuple((r, c, s) for (r, c), s in sorted(entries.items()))
+    ent = ldpc_tables.build_entries(bg)
     return BaseGraph(bg=bg, n_rows=n_rows, n_cols=n_cols, k_cols=k_cols, entries=ent)
 
 
@@ -221,7 +173,11 @@ def _shift_idx(shifts: np.ndarray, z: int, inverse: bool = False) -> np.ndarray:
 def _encode_plan(bg: int, z: int):
     """Precomputed gathers for the batched encoder: systematic edges as one
     gather + one-hot XOR-sum per row, core-parity taps in extension rows as a
-    second small gather."""
+    second small gather. Also derives the parity-core recovery recipe from
+    the loaded table: `core_par[r][j]` = shift (mod Z) of parity column
+    kc+j in core row r (or None), and `p1_survivor` = the single
+    odd-multiplicity shift of the p1 column across core rows (the row-sum
+    trick works for any 38.212-family core, incl. the BG1 iLS=6 105)."""
     code = lifted_code(bg, z)
     kc = code.k_cols
     sys = np.nonzero(code.cols < kc)[0]
@@ -236,20 +192,30 @@ def _encode_plan(bg: int, z: int):
     tap_row_oneh = np.zeros((code.n_rows - 4, max(tap.shape[0], 1)), np.float32)
     if tap.shape[0]:
         tap_row_oneh[code.rows[tap] - 4, np.arange(tap.shape[0])] = 1.0
-    return code, sys_idx, sys_cols, sys_row_oneh, tap_idx, tap_cols, tap_row_oneh
+    # parity-core recipe (static python ints -> trace-time constants)
+    core_par = [[None] * 4 for _ in range(4)]
+    core = np.nonzero((code.cols >= kc) & (code.cols < kc + 4) & (code.rows < 4))[0]
+    for e in core:
+        core_par[int(code.rows[e])][int(code.cols[e]) - kc] = int(code.shifts[e])
+    from collections import Counter
+
+    p1_shifts = [core_par[r][0] for r in range(4) if core_par[r][0] is not None]
+    odd = [s for s, n in Counter(p1_shifts).items() if n % 2 == 1]
+    if len(odd) != 1:
+        raise ValueError(f"non-encodable parity core bg={bg} z={z}: {p1_shifts}")
+    return (code, sys_idx, sys_cols, sys_row_oneh, tap_idx, tap_cols,
+            tap_row_oneh, tuple(map(tuple, core_par)), odd[0])
 
 
 @partial(jax.jit, static_argnames=("bg", "z"))
 def _encode_jit(msg: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
-    code, sys_idx, sys_cols, sys_oneh, tap_idx, tap_cols, tap_oneh = _encode_plan(bg, z)
+    (code, sys_idx, sys_cols, sys_oneh, tap_idx, tap_cols, tap_oneh,
+     core_par, p1_surv) = _encode_plan(bg, z)
     kc = code.k_cols
     m = msg.reshape(*msg.shape[:-1], kc, z).astype(jnp.float32)
 
     def pshift(v, s):  # (P^s v)[i] = v[(i+s) mod Z]
         return jnp.roll(v, -s, axis=-1)
-
-    def xor(a, b):
-        return jnp.mod(a + b, 2.0)
 
     # all systematic contributions: gather-shift then XOR-sum per row (matmul
     # + mod 2 — row degrees are small so float32 sums are exact)
@@ -259,12 +225,22 @@ def _encode_jit(msg: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
                    preferred_element_type=jnp.float32),
         2.0,
     )  # [..., n_rows, Z]
+    # p1 by the row-sum trick: equal-shift p1 terms cancel mod 2 leaving the
+    # single survivor P^{p1_surv}; bidiagonal terms cancel pairwise.
     s_all = jnp.mod(lam[..., 0, :] + lam[..., 1, :] + lam[..., 2, :] + lam[..., 3, :], 2.0)
-    p1 = pshift(s_all, -1)  # P^1 p1 = sum => p1 = P^{-1} sum
-    p2 = xor(lam[..., 0, :], pshift(p1, 1))
-    p3 = xor(xor(lam[..., 1, :], p1), p2)
-    p4 = xor(lam[..., 3, :], p1)
-    p_core = jnp.stack([p1, p2, p3, p4], axis=-2)  # [..., 4, Z]
+    p1 = pshift(s_all, -p1_surv)
+    # rows 0..2 determine p2..p4 by back-substitution (row 3 is then
+    # automatically satisfied — it was consumed by the row sum)
+    p = [p1, None, None, None]
+    for j in range(3):
+        acc = lam[..., j, :]
+        if core_par[j][0] is not None:
+            acc = acc + pshift(p1, core_par[j][0])
+        for i in range(1, j + 1):  # previously computed parities in row j
+            if core_par[j][i] is not None:
+                acc = acc + p[i]
+        p[j + 1] = jnp.mod(acc, 2.0)
+    p_core = jnp.stack(p, axis=-2)  # [..., 4, Z]
     # extension parities: systematic row-sums XOR core-parity taps
     if tap_cols.shape[0]:
         t_e = _gather_shift(p_core[..., jnp.asarray(tap_cols), :], tap_idx)

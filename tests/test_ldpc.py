@@ -139,3 +139,69 @@ def test_interleaver_is_permutation():
     for qm in (2, 4, 6, 8):
         p = ldpc.interleave_indices(240, qm)
         assert sorted(p.tolist()) == list(range(240))
+
+
+def test_38212_table_structure():
+    """VERDICT r2 #1: the loaded base graphs carry the TS 38.212 protograph —
+    exact edge counts, known column degrees, double-diagonal parity core,
+    identity extension, and the BG1 iLS=6 all-zero-row-0/105 anomaly."""
+    from collections import Counter
+
+    from isac_tpu.ops import ldpc_tables
+
+    ldpc_tables.validate_tables()
+    g1, g2 = ldpc.base_graph(1), ldpc.base_graph(2)
+    assert len(g1.entries) == 316 and len(g2.entries) == 197
+    c1 = Counter(c for _, c, _ in g1.entries)
+    c2 = Counter(c for _, c, _ in g2.entries)
+    assert c1[0] == 30 and c1[1] == 28  # BG1 punctured-column degrees
+    assert c2[0] == 22 and c2[1] == 23  # BG2 punctured-column degrees
+    # BG1 iLS=6 anomaly: row 0 all-zero except V(0,22)=105
+    r0 = {(c): s[6] for r, c, s in g1.entries if r == 0}
+    assert r0[22] == 105 and all(v == 0 for c, v in r0.items() if c != 22)
+    # every extension row has its identity parity column with shift 0
+    for g, kc in ((g1, 22), (g2, 10)):
+        for r in range(4, g.n_rows):
+            assert g.shift(r, kc + 4 + (r - 4), 0) == 0
+
+
+@pytest.mark.parametrize("z", [2, 3, 5, 7, 9, 11, 13, 15, 208, 224, 384])
+def test_encode_roundtrip_every_lifting_set(z):
+    """Encode->noiseless decode across all 8 lifting sets (incl. the BG1
+    set-6 survivor-105 path at Z=13/208) for both base graphs."""
+    rng = np.random.default_rng(z)
+    for bg in (1, 2):
+        code = ldpc.lifted_code(bg, z)
+        msg = rng.integers(0, 2, (2, code.k)).astype(np.int8)
+        cw = np.asarray(ldpc.encode(code, jnp.asarray(msg)))
+        np.testing.assert_array_equal(cw[:, : code.k], msg)
+        llr = (1.0 - 2.0 * cw).astype(np.float32) * 8.0
+        llr[:, : 2 * z] = 0.0
+        hard, ok = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=15)
+        assert bool(jnp.all(ok)), (bg, z)
+        np.testing.assert_array_equal(np.asarray(hard), msg)
+
+
+def test_bler_waterfall_position():
+    """The full-buffer BG1 code at Z=64 (rate 22/66) shows a waterfall:
+    essentially error-free at 1.2 dB Eb/N0 equivalent and failing well below
+    capacity — a coarse check that the protograph behaves like the NR code."""
+    bg, z = 1, 64
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(7)
+    n_blocks = 24
+    msg = rng.integers(0, 2, (n_blocks, code.k)).astype(np.int8)
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
+    x = 1.0 - 2.0 * cw
+
+    def run(sigma):
+        y = x + sigma * rng.standard_normal(x.shape)
+        llr = (2.0 * y / sigma**2).astype(np.float32)
+        llr[:, : 2 * z] = 0.0
+        hard, ok = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=20)
+        return (np.asarray(hard) != msg).any(axis=1).mean()
+
+    # rate 1/3-ish code: sigma=0.75 (≈2.5 dB SNR) must be (near) error-free,
+    # sigma=1.25 (≈-1.9 dB) must mostly fail — brackets the waterfall
+    assert run(0.75) <= 1.0 / n_blocks
+    assert run(1.25) >= 0.5
