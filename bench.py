@@ -110,6 +110,96 @@ def bench_sensing(n_prb=273, num_slots=20):
     }
 
 
+def bench_engine(n_rb=51, nfft=1024):
+    """Engine-level metric (VERDICT r2 #2/#7): simulated-slots/s of the 5-UE
+    openStreetMapCity frame through the FULL stack (traffic -> RLC -> MAC ->
+    batched PHY -> feedback loops -> sensing accumulation). Frame 1 pays
+    compile; frame 2 is the steady-state number."""
+    from isac_tpu.config import SimulationParameters, assign_cell_parameters
+    from isac_tpu.config.scenarios import open_street_map_city
+    from isac_tpu.sim.cell import CellSimulator
+
+    sim = open_street_map_city(SimulationParameters())
+    cells = assign_cell_parameters(sim)
+    CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft).run()
+    cs = CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft, seed=1)
+    t0 = time.perf_counter()
+    cs.run()
+    dt = time.perf_counter() - t0
+    slot_s = cs.carrier.slot_duration_s
+    return {
+        "engine_slots_per_s": cs.num_slots / dt,
+        "engine_rtf": cs.num_slots * slot_s / dt,  # simulated-time / wall-time
+        "engine_n_rb": n_rb,
+        "engine_n_ues": cs.n_ues,
+    }
+
+
+# assumed dense-compute peaks for achieved-fraction estimates (bf16 MXU;
+# fp32/complex paths land lower). Labelled estimates, not measurements.
+_PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+
+
+def _flops_estimates(extra):
+    """Analytic FLOPs/bytes for the two hot kernels -> achieved-vs-peak.
+
+    PDSCH chain (per run of bench_pdsch): dominated by the LDPC min-sum
+    decode. Algorithmic flops ~= iters * C_blocks * links * (10*E*Z for the
+    check updates + 2*n_cols*E*Z MACs for the one-hot column aggregation as
+    formulated). Channel apply adds links*rx*tx*14*K complex MACs (8 flops).
+    Sensing: two FFT passes, 5*N*log2(N) per length-N transform, over
+    n_ants * (nFFT range columns + nIFFT doppler rows)."""
+    out = {}
+    try:
+        import math
+
+        if "pdsch_slot_s" in extra:
+            n_links, n_prb, n_layers = 4, 273, 2
+            k_sc = n_prb * 12
+            e_edges, z, n_cols, c_blocks, iters = 316, 384, 68, 28, 6
+            ldpc = iters * c_blocks * n_links * (10 * e_edges * z + 2 * n_cols * e_edges * z)
+            chan = n_links * 2 * 16 * 14 * k_sc * 8
+            flops = ldpc + chan
+            out["pdsch_gflops_est"] = flops / 1e9
+            out["pdsch_tflops_s_est"] = flops / extra["pdsch_slot_s"] / 1e12
+            # bytes: LLR buffers dominate (E*Z f32 read+write per iter per CB)
+            bytes_moved = iters * c_blocks * n_links * e_edges * z * 4 * 2
+            out["pdsch_flops_per_byte_est"] = flops / bytes_moved
+        if "sensing_chain_s" in extra:
+            n_ifft, n_fft, n_ants = extra["n_ifft"], extra["n_fft"], 16
+            f1 = n_ants * n_fft * 5 * n_ifft * math.log2(n_ifft)
+            f2 = n_ants * n_ifft * 5 * n_fft * math.log2(n_fft)
+            out["sensing_gflops_est"] = (f1 + f2) / 1e9
+            out["sensing_tflops_s_est"] = (f1 + f2) / extra["sensing_chain_s"] / 1e12
+        import os
+
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        peak = _PEAK_FLOPS.get(gen)
+        if peak and "pdsch_tflops_s_est" in out:
+            out["mfu_est"] = out["pdsch_tflops_s_est"] * 1e12 / peak
+            out["mfu_peak_assumed"] = f"{gen}:{peak / 1e12:.0f}TF-bf16"
+    except Exception as e:  # estimates must never break the bench line
+        out["flops_est_error"] = repr(e)[:120]
+    return out
+
+
+def _best_prior_bench():
+    """Best prior pdsch_info_mbps from recorded BENCH_r*.json history."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            v = (rec.get("parsed") or {}).get("extra", {}).get("pdsch_info_mbps")
+            if v:
+                best = max(best or 0.0, float(v))
+        except Exception:
+            continue
+    return best
+
+
 def main():
     import jax
 
@@ -122,14 +212,23 @@ def main():
         extra.update(bench_sensing())
     except Exception as e:
         extra["sensing_error"] = repr(e)[:200]
+    try:
+        extra.update(bench_engine())
+    except Exception as e:
+        extra["engine_error"] = repr(e)[:200]
+    extra.update(_flops_estimates(extra))
     value = extra.get("pdsch_info_mbps", 0.0)
+    best_prior = _best_prior_bench()
+    # the reference publishes no numbers (BASELINE.md); baseline = best prior
+    # recorded round of THIS framework, so vs_baseline tracks real progress
+    vs = (float(value) / best_prior) if best_prior else 1.0
     print(
         json.dumps(
             {
                 "metric": "pdsch_chain_info_rate",
                 "value": round(float(value), 3),
                 "unit": "Mbps",
-                "vs_baseline": 1.0,  # reference publishes no numbers (BASELINE.md)
+                "vs_baseline": round(vs, 4),
                 "extra": {k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in extra.items()},
             }

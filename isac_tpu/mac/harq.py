@@ -28,6 +28,7 @@ class HarqState:
     tbs: np.ndarray = field(default=None)  # bits of the stored TB
     mcs: np.ndarray = field(default=None)
     n_prb: np.ndarray = field(default=None)
+    n_sym: np.ndarray = field(default=None)  # TTI duration of the stored TB
     tx_count: np.ndarray = field(default=None)
     payload: dict = field(default_factory=dict)  # (ue, pid) -> bit array
     buffers: dict = field(default_factory=dict)  # (ue, pid) -> decoder soft buffers
@@ -41,6 +42,7 @@ class HarqState:
         self.tbs = z(np.int64) if self.tbs is None else self.tbs
         self.mcs = z() if self.mcs is None else self.mcs
         self.n_prb = z() if self.n_prb is None else self.n_prb
+        self.n_sym = z() if self.n_sym is None else self.n_sym
         self.tx_count = z() if self.tx_count is None else self.tx_count
 
     def free_process(self, ue: int) -> int | None:
@@ -49,7 +51,8 @@ class HarqState:
         ids = np.nonzero(idle)[0]
         return int(ids[0]) if ids.size else None
 
-    def new_tx(self, ue: int, pid: int, tbs: int, mcs: int, n_prb: int, payload):
+    def new_tx(self, ue: int, pid: int, tbs: int, mcs: int, n_prb: int, payload,
+               n_sym: int = 14):
         self.ndi[ue, pid] ^= 1  # NDI toggle (schedulerEntity.m:2139)
         self.rv_idx[ue, pid] = 0
         self.pending[ue, pid] = True
@@ -57,6 +60,7 @@ class HarqState:
         self.tbs[ue, pid] = tbs
         self.mcs[ue, pid] = mcs
         self.n_prb[ue, pid] = n_prb
+        self.n_sym[ue, pid] = n_sym
         self.tx_count[ue, pid] = 1
         self.payload[(ue, pid)] = payload
         self.buffers.pop((ue, pid), None)

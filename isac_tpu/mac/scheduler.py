@@ -198,6 +198,11 @@ class Scheduler:
         # ---- retransmissions first
         for ue in range(self.n_ues):
             for pid in np.nonzero(harq.need_retx[ue])[0]:
+                # tbsCapability (:2794): the stored TB must fit — same MCS,
+                # #PRBs AND TTI duration; a mismatched-duration TTI (symbol
+                # scheduling) is skipped, the retx waits for a matching one
+                if int(harq.n_sym[ue, pid]) not in (0, n_sym):
+                    continue
                 need_prbs = int(harq.n_prb[ue, pid])
                 need_rbgs = int(np.ceil(need_prbs / self.rbg))
                 if free.sum() < need_rbgs:
@@ -274,7 +279,7 @@ class Scheduler:
             tbs = nr_tbs(mod, rank, len(prbs), n_re, rate)
             if tbs == 0:
                 continue
-            harq.new_tx(ue, pid, tbs, mcs, len(prbs), None)
+            harq.new_tx(ue, pid, tbs, mcs, len(prbs), None, n_sym=n_sym)
             grants.append(Grant(
                 rnti=self.ues[ue].rnti, ue=ue, direction=direction, slot=slot,
                 prb_set=prbs, sym_start=sym_start, n_sym=n_sym, mcs=mcs,

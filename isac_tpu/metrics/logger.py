@@ -43,7 +43,8 @@ class SchedulingLogger:
         self.grants: list = []
 
     def log_grant(self, slot: int, direction: str, ue: int, prb_set, mcs: int,
-                  tbs: int, rv: int, harq_id: int, n_layers: int, is_retx: bool):
+                  tbs: int, rv: int, harq_id: int, n_layers: int, is_retx: bool,
+                  sym_start: int = 0, n_sym: int = 14):
         if slot >= self.n_slots:
             return
         prbs = np.asarray(list(prb_set), np.int64)
@@ -53,7 +54,7 @@ class SchedulingLogger:
             "slot": slot, "dir": direction, "ue": ue, "mcs": mcs,
             "n_prb": int(prbs.size), "prb0": int(prbs[0]) if prbs.size else -1,
             "tbs": tbs, "rv": rv, "harq_id": harq_id, "n_layers": n_layers,
-            "is_retx": bool(is_retx),
+            "is_retx": bool(is_retx), "sym_start": sym_start, "n_sym": n_sym,
         })
 
     def log_crc(self, slot: int, direction: str, ue: int, ok: bool):

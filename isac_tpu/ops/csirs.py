@@ -12,6 +12,10 @@ mod 2^31 (§7.4.1.5.2).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from isac_tpu.utils.sequences import gold_qpsk
@@ -103,20 +107,45 @@ def csirs_fill_fdm(
     return grid
 
 
+def _csirs_fdm_est_plan(slot: int, n_id: int, n_prb: int, n_ports: int, l0: int):
+    layout = csirs_fdm_layout(n_ports, l0)
+    sym = np.asarray([l for l, _ in layout], np.int32)  # [P]
+    sc = np.stack(
+        [np.arange(n_prb, dtype=np.int32) * 12 + off for _, off in layout]
+    )  # [P, n_prb]
+    refs_conj = np.conj(
+        np.stack(
+            [
+                csirs_sequence(slot, l, n_id, n_prb, offset=p * n_prb)
+                for p, (l, _) in enumerate(layout)
+            ]
+        ).astype(np.complex64)
+    )
+    return sym, sc, refs_conj
+
+
+@jax.jit
+def _fdm_est_jit(rx, sym, sc, refs_conj):
+    y = rx[:, sym[:, None], sc]  # [n_rx, P, n_prb]
+    h = y * refs_conj[None]
+    return jnp.transpose(h, (2, 0, 1))  # [n_prb, n_rx, P]
+
+
+@lru_cache(maxsize=512)
+def _cached_fdm_plan(slot: int, n_id: int, n_prb: int, n_ports: int, l0: int):
+    return _csirs_fdm_est_plan(slot, n_id, n_prb, n_ports, l0)
+
+
 def csirs_estimate_fdm(
     rx_grid, slot: int, n_id: int, n_prb: int, n_ports: int, l0: int = 5
 ):
-    """LS estimate at the FDM CSI-RS REs -> H [n_prb, n_rx, n_ports]."""
-    import jax.numpy as jnp
+    """LS estimate at the FDM CSI-RS REs -> H [n_prb, n_rx, n_ports].
 
-    prbs = np.arange(n_prb)
-    hs = []
-    for p, (l, off) in enumerate(csirs_fdm_layout(n_ports, l0)):
-        r = csirs_sequence(slot, l, n_id, n_prb, offset=p * n_prb)
-        y = rx_grid[:, l, jnp.asarray(prbs * 12 + off)]  # [n_rx, n_prb]
-        hs.append(y * jnp.conj(jnp.asarray(r.astype(np.complex64))))
-    h = jnp.stack(hs, axis=-1)  # [n_rx, n_prb, n_ports]
-    return jnp.transpose(h, (1, 0, 2))
+    One jitted gather over every port (the r2 per-port eager loop was a
+    measurable slice of the engine's host time)."""
+    sym, sc, refs_conj = _cached_fdm_plan(slot, n_id, n_prb, n_ports, l0)
+    return _fdm_est_jit(rx_grid, jnp.asarray(sym), jnp.asarray(sc),
+                        jnp.asarray(refs_conj))
 
 
 def csirs_fdm_reserved(n_ports: int, l0: int = 5) -> tuple:

@@ -123,7 +123,11 @@ def dmrs_symbols_for_duration(add_pos: int, sym_start: int, n_sym: int) -> tuple
         base = (2, 7, 11) if end >= 13 else (2, 6, 9)
     else:
         base = DMRS_SYMBOLS_TYPE_A[add_pos]
-    return tuple(s for s in base if sym_start <= s < end)
+    out = tuple(s for s in base if sym_start <= s < end)
+    # mid-slot TTIs (symbol-based scheduling) where no type-A position falls
+    # inside the duration: mapping-type-B-style front-loaded DM-RS at the
+    # first TTI symbol (proportionalFair.m:115-384 TTI grants need pilots)
+    return out if out else (sym_start,)
 
 
 @lru_cache(maxsize=256)
@@ -223,8 +227,7 @@ def canonical_prg_count(n_prb: int, prg_size: int = 2) -> int:
     return (n_prb + prg_size - 1) // prg_size
 
 
-@lru_cache(maxsize=256)
-def _tx_kernel(key: tuple, w_kind: str, has_extra: bool):
+def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
     lay = _layout(key)
     (n_prb, sym_start, n_sym, mcs, mcs_table, n_layers, add_pos,
      n_sc_grid, direction, reserved) = key
@@ -255,7 +258,30 @@ def _tx_kernel(key: tuple, w_kind: str, has_extra: bool):
             full = full + extra
         return full
 
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=256)
+def _tx_kernel(key: tuple, w_kind: str, has_extra: bool):
+    return jax.jit(_make_tx_fn(key, w_kind, has_extra))
+
+
+@lru_cache(maxsize=256)
+def _tx_kernel_batch(key: tuple, w_kind: str, reduce_sum: bool):
+    """Vmapped transmit over same-layout grants (VERDICT r2 #2: the engine's
+    per-grant dispatch loop becomes one XLA program for all co-scheduled
+    grants of a layout signature). reduce_sum fuses the co-channel sum
+    (PDSCH: all grants share the gNB antennas); without it, per-grant grids
+    come back stacked (PUSCH: each grant rides its own UE's channel)."""
+    fn = _make_tx_fn(key, w_kind, False)
+
+    def batched(tb, seq, refs, prbs, rv, w):
+        grids = jax.vmap(lambda a, b, c, d, e, f: fn(a, b, c, d, e, f, None))(
+            tb, seq, refs, prbs, rv, w
+        )
+        return jnp.sum(grids, axis=0) if reduce_sum else grids
+
+    return jax.jit(batched)
 
 
 def sch_transmit(
@@ -284,8 +310,7 @@ def sch_transmit(
     return pg, {"tbs": lay["tbs"], "g": lay["cfg"].g, "cfg": lay["cfg"]}
 
 
-@lru_cache(maxsize=256)
-def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int):
+def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
     lay = _layout(key)
     (n_prb, sym_start, n_sym, mcs, mcs_table, n_layers, add_pos,
      n_sc_grid, direction, reserved) = key
@@ -321,7 +346,27 @@ def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int):
         return {"tb": tb, "crc_ok": ok, "soft_buffers": bufs,
                 "sinr_db": mean_sinr_db, "noise_var": nvar}
 
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=256)
+def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int):
+    return jax.jit(_make_rx_fn(key, has_bufs, n_ldpc_iter))
+
+
+@lru_cache(maxsize=256)
+def _rx_kernel_batch(key: tuple, n_ldpc_iter: int):
+    """Vmapped receive over same-layout grants, with the per-grant rx grid
+    selected INSIDE the program (rx_all[idx]) so the engine never pays eager
+    gather dispatches. Soft buffers are always present (zeros for fresh HARQ
+    processes — additive identity in rate_recover), so one compiled program
+    serves new tx and retx alike."""
+    fn = _make_rx_fn(key, True, n_ldpc_iter)
+
+    def wrapped(rx_all, idx, seq, refs, prbs, rv, bufs):
+        return jax.vmap(fn)(rx_all[idx], seq, refs, prbs, rv, bufs)
+
+    return jax.jit(wrapped)
 
 
 def sch_receive(
@@ -343,6 +388,88 @@ def sch_receive(
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
     bufs = soft_buffers if soft_buffers is not None else jnp.zeros((1,))
     out = fn(rx_grid, seq, refs, prbs, jnp.int32(grant.rv), bufs)
+    out["tbs"] = lay["tbs"]
+    return out
+
+
+# ----------------------------------------------------------- batched (per-slot)
+
+
+def _stack_grant_inputs(grants: list):
+    lay = _layout(grants[0].layout_key())
+    seq = jnp.asarray(np.stack([_scrambling_seq(g, lay["cfg"].g) for g in grants]))
+    refs = jnp.asarray(np.stack([_dmrs_refs(g, lay["dsyms"]) for g in grants]))
+    prbs = jnp.asarray(np.stack([np.asarray(g.prbs, np.int32) for g in grants]))
+    rv = jnp.asarray(np.asarray([g.rv for g in grants], np.int32))
+    return lay, seq, refs, prbs, rv
+
+
+def sch_transmit_batch(
+    tb_list: list, grants: list, w_list: list, reduce_sum: bool = True
+) -> jnp.ndarray:
+    """Same-layout grants -> SUMMED port grid [n_ports, 14, n_sc_grid]
+    (reduce_sum=True) or stacked per-grant grids [n_grants, n_ports, 14, K].
+
+    All grants must share layout_key() and precoder kind (the caller groups);
+    one vmapped XLA program encodes/modulates/precodes/scatters every grant
+    (the reference's serial UE loop, cellSimulation.m:161-163, vmapped per
+    SURVEY §2.10)."""
+    key = grants[0].layout_key()
+    w_kind = "wideband" if w_list[0].ndim == 2 else "prg"
+    _, seq, refs, prbs, rv = _stack_grant_inputs(grants)
+    fn = _tx_kernel_batch(key, w_kind, reduce_sum)
+    tb = (
+        np.stack(tb_list)
+        if all(isinstance(t, np.ndarray) for t in tb_list)
+        else jnp.stack([jnp.asarray(t) for t in tb_list])
+    )
+    return fn(tb, seq, refs, prbs, rv, jnp.stack(w_list))
+
+
+def grant_soft_buffer_shape(grant: SCHGrant) -> tuple:
+    cfg = _layout(grant.layout_key())["cfg"]
+    return (cfg.c, (66 if cfg.bg == 1 else 50) * cfg.z)
+
+
+def sch_receive_batch(
+    rx: jnp.ndarray | list,  # stacked [N, n_rx, 14, K] (+ rx_indices) or list
+    grants: list,
+    soft_buffers_list: list,  # per-grant [C, Ncb] or None (fresh)
+    n_ldpc_iter: int = 6,
+    rx_indices: np.ndarray | None = None,
+):
+    """Batched receiver over same-layout grants. Returns dict whose values
+    carry a leading grant axis; index [i] for grant i. Nothing is
+    materialized — callers can defer the host sync to the HARQ-feedback due
+    slot so the device pipeline never stalls inside the slot loop.
+
+    rx may be a pre-stacked tensor indexed per grant by rx_indices (e.g. the
+    all-UE received grid — selection happens inside the compiled program) or
+    a legacy per-grant list."""
+    key = grants[0].layout_key()
+    lay, seq, refs, prbs, rv = _stack_grant_inputs(grants)
+    if rx_indices is None:
+        rx_all = jnp.stack(list(rx))
+        idx = jnp.arange(len(grants), dtype=jnp.int32)
+    else:
+        rx_all = rx
+        idx = jnp.asarray(np.asarray(rx_indices, np.int32))
+    if all(b is None for b in soft_buffers_list):
+        bufs = jnp.zeros(
+            (len(grants), *grant_soft_buffer_shape(grants[0])), jnp.float32
+        )
+    else:
+        zeros = None
+        stacked = []
+        for b in soft_buffers_list:
+            if b is None:
+                if zeros is None:
+                    zeros = jnp.zeros(grant_soft_buffer_shape(grants[0]), jnp.float32)
+                b = zeros
+            stacked.append(b)
+        bufs = jnp.stack(stacked)
+    fn = _rx_kernel_batch(key, n_ldpc_iter)
+    out = fn(rx_all, idx, seq, refs, prbs, rv, bufs)
     out["tbs"] = lay["tbs"]
     return out
 
