@@ -114,25 +114,51 @@ def bench_engine(n_rb=51, nfft=1024):
     """Engine-level metric (VERDICT r2 #2/#7): simulated-slots/s of the 5-UE
     openStreetMapCity frame through the FULL stack (traffic -> RLC -> MAC ->
     batched PHY -> feedback loops -> sensing accumulation). Frame 1 pays
-    compile; frame 2 is the steady-state number."""
+    compile; frame 2 is the steady-state number.
+
+    The closed-loop engine must read CRC/CSI results back to the host; the
+    axon TPU relay implements compiled-program execution but not device->host
+    readback (verified empirically: any D2H copy raises UNIMPLEMENTED), so
+    this bench pins the CPU backend when readback is unavailable. The two
+    kernel benches above still measure the TPU data plane."""
+    import jax
+
     from isac_tpu.config import SimulationParameters, assign_cell_parameters
     from isac_tpu.config.scenarios import open_street_map_city
     from isac_tpu.sim.cell import CellSimulator
 
-    sim = open_street_map_city(SimulationParameters())
-    cells = assign_cell_parameters(sim)
-    CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft).run()
-    cs = CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft, seed=1)
-    t0 = time.perf_counter()
-    cs.run()
-    dt = time.perf_counter() - t0
-    slot_s = cs.carrier.slot_duration_s
-    return {
-        "engine_slots_per_s": cs.num_slots / dt,
-        "engine_rtf": cs.num_slots * slot_s / dt,  # simulated-time / wall-time
-        "engine_n_rb": n_rb,
-        "engine_n_ues": cs.n_ues,
-    }
+    def readback_ok():
+        try:
+            np.asarray(jax.jit(lambda: 1 + jax.numpy.zeros(2))())
+            return True
+        except Exception:
+            return False
+
+    backend = jax.default_backend()
+    ctx = None
+    if backend != "cpu" and not readback_ok():
+        ctx = jax.default_device(jax.devices("cpu")[0])
+        ctx.__enter__()
+        backend = "cpu (no TPU readback)"
+    try:
+        sim = open_street_map_city(SimulationParameters())
+        cells = assign_cell_parameters(sim)
+        CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft).run()
+        cs = CellSimulator(cells[0], n_rb_override=n_rb, nfft_override=nfft, seed=1)
+        t0 = time.perf_counter()
+        cs.run()
+        dt = time.perf_counter() - t0
+        slot_s = cs.carrier.slot_duration_s
+        return {
+            "engine_slots_per_s": cs.num_slots / dt,
+            "engine_rtf": cs.num_slots * slot_s / dt,  # simulated / wall time
+            "engine_n_rb": n_rb,
+            "engine_n_ues": cs.n_ues,
+            "engine_backend": backend,
+        }
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
 
 
 # assumed dense-compute peaks for achieved-fraction estimates (bf16 MXU;

@@ -193,6 +193,7 @@ class SchedulingParams:
     """(+schedulingStrategies/parameters.m)."""
 
     strategy: str = "PF"  # 'RR' | 'PF' | 'BestCQI'
+    mcs_table: str = "qam64"  # 'qam64' | 'qam256' (TS 38.214 T5.1.3.1-1/2)
     tti_granularity: int = 4  # {2, 4, 7} symbols, for symbol-based scheduling
     rb_allocation_limit_ul: Optional[int] = None
     rb_allocation_limit_dl: Optional[int] = None
@@ -220,7 +221,8 @@ class PathlossParams:
     """(+pathLossModels/parameters.m). model in {'fspl','UMa','UMi','RMa','InH','InF-SL','InF-DL','InF-SH','InF-DH'}"""
 
     model: str = "UMa"
-    shadow_fading: bool = False
+    shadow_fading: bool = False  # log-normal shadowing on top of the model
+    shadow_sigma_db: float = 6.0  # TR 38.901 UMa NLoS-ish sigma_SF
     seed: int = 3
 
 

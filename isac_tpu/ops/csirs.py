@@ -131,21 +131,29 @@ def _fdm_est_jit(rx, sym, sc, refs_conj):
     return jnp.transpose(h, (2, 0, 1))  # [n_prb, n_rx, P]
 
 
+@jax.jit
+def _fdm_est_idx_jit(rx_all, idx, sym, sc, refs_conj):
+    return _fdm_est_jit(rx_all[idx], sym, sc, refs_conj)
+
+
 @lru_cache(maxsize=512)
 def _cached_fdm_plan(slot: int, n_id: int, n_prb: int, n_ports: int, l0: int):
     return _csirs_fdm_est_plan(slot, n_id, n_prb, n_ports, l0)
 
 
 def csirs_estimate_fdm(
-    rx_grid, slot: int, n_id: int, n_prb: int, n_ports: int, l0: int = 5
+    rx_grid, slot: int, n_id: int, n_prb: int, n_ports: int, l0: int = 5,
+    ue_index: int | None = None,
 ):
     """LS estimate at the FDM CSI-RS REs -> H [n_prb, n_rx, n_ports].
 
-    One jitted gather over every port (the r2 per-port eager loop was a
-    measurable slice of the engine's host time)."""
+    One jitted gather over every port. `ue_index` selects a leading batch
+    entry INSIDE the program (rx_grid is then [n_ues, n_rx, 14, K]) so no
+    eager slice ever runs."""
     sym, sc, refs_conj = _cached_fdm_plan(slot, n_id, n_prb, n_ports, l0)
-    return _fdm_est_jit(rx_grid, jnp.asarray(sym), jnp.asarray(sc),
-                        jnp.asarray(refs_conj))
+    if ue_index is None:
+        return _fdm_est_jit(rx_grid, sym, sc, refs_conj)
+    return _fdm_est_idx_jit(rx_grid, np.int32(ue_index), sym, sc, refs_conj)
 
 
 def csirs_fdm_reserved(n_ports: int, l0: int = 5) -> tuple:
@@ -154,8 +162,40 @@ def csirs_fdm_reserved(n_ports: int, l0: int = 5) -> tuple:
     return csirs_fdm_layout(n_ports, l0)
 
 
+@lru_cache(maxsize=512)
+def _row5_est_plan(slot: int, n_id: int, n_prb: int, k0: int, l0: int,
+                   prb_start: int):
+    base = (np.arange(prb_start, prb_start + n_prb) * 12 + k0).astype(np.int32)
+    refs = np.stack([
+        np.conj(csirs_sequence(slot, l0 + li, n_id, 2 * n_prb)
+                .reshape(-1, 2).astype(np.complex64))
+        for li in (0, 1)
+    ])  # [2, n_prb, 2]
+    return base, refs
+
+
+@jax.jit
+def _row5_est_jit(rx, base, refs):
+    """CDM-FD2 decode over the two CSI-RS symbols -> [n_prb, n_rx, 4]."""
+    syms = jnp.asarray([5, 6])  # overridden by caller closure when l0 != 5
+    hs = []
+    for li in range(2):
+        y0 = rx[:, syms[li], base]  # [n_rx, n_prb]
+        y1 = rx[:, syms[li], base + 1]
+        ls0 = y0 * refs[li, :, 0]
+        ls1 = y1 * refs[li, :, 1]
+        hs += [(ls0 + ls1) / 2.0, (ls0 - ls1) / 2.0]  # ports 2li, 2li+1
+    h = jnp.stack(hs, axis=-1)  # [n_rx, n_prb, 4]
+    return jnp.transpose(h, (1, 0, 2))
+
+
+@jax.jit
+def _row5_est_idx_jit(rx_all, idx, base, refs):
+    return _row5_est_jit(rx_all[idx], base, refs)
+
+
 def csirs_estimate_ports(
-    rx_grid: np.ndarray,  # jnp [n_rx, n_sym, n_sc]
+    rx_grid,  # jnp [n_rx, n_sym, n_sc] (or [n_ues, ...] with ue_index)
     slot: int,
     n_id: int,
     n_prb: int,
@@ -163,26 +203,18 @@ def csirs_estimate_ports(
     k0: int = 0,
     l0: int = 5,
     prb_start: int = 0,
+    ue_index: int | None = None,
 ):
-    """LS channel estimate at CSI-RS REs -> H [n_re, n_rx, n_ports] + re PRB ids.
+    """LS channel estimate at CSI-RS REs -> H [n_prb, n_rx, 4] + PRB ids.
 
-    CDM decode mirrors csirs_fill_grid's mapping.
-    """
-    import jax.numpy as jnp
-
-    prbs = np.arange(prb_start, prb_start + n_prb)
-    base = prbs * 12 + k0
+    CDM decode mirrors csirs_fill_grid's row-5 mapping; one jitted program,
+    optional in-program UE selection (eager-free engine path)."""
     if row != 5:
         raise NotImplementedError("estimation implemented for row 5 (the reference default)")
-    hs = []
-    for li, l in enumerate((l0, l0 + 1)):
-        r = csirs_sequence(slot, l, n_id, 2 * len(base)).reshape(-1, 2)
-        y0 = rx_grid[:, l, jnp.asarray(base)]  # [n_rx, n_prb]
-        y1 = rx_grid[:, l, jnp.asarray(base + 1)]
-        ls0 = y0 * jnp.conj(jnp.asarray(r[:, 0].astype(np.complex64)))
-        ls1 = y1 * jnp.conj(jnp.asarray(r[:, 1].astype(np.complex64)))
-        h_even = (ls0 + ls1) / 2.0  # port 2*li + 0
-        h_odd = (ls0 - ls1) / 2.0  # port 2*li + 1
-        hs.append((h_even, h_odd))
-    h = jnp.stack([hs[0][0], hs[0][1], hs[1][0], hs[1][1]], axis=-1)  # [n_rx, n_prb, 4]
-    return jnp.transpose(h, (1, 0, 2)), prbs  # [n_prb(re), n_rx, 4]
+    if l0 != 5:
+        raise NotImplementedError("jitted row-5 estimator assumes l0=5")
+    base, refs = _row5_est_plan(slot, n_id, n_prb, k0, l0, prb_start)
+    prbs = np.arange(prb_start, prb_start + n_prb)
+    if ue_index is None:
+        return _row5_est_jit(rx_grid, base, refs), prbs
+    return _row5_est_idx_jit(rx_grid, np.int32(ue_index), base, refs), prbs

@@ -23,8 +23,10 @@ from isac_tpu.parallel.links import (
 )
 from isac_tpu.parallel.cells import network_dl_step, network_dl_step_reference
 from isac_tpu.parallel.time_blocks import range_doppler_map_sharded
+from isac_tpu.parallel.distributed import global_mesh, init_distributed
 
 __all__ = [
+    "global_mesh", "init_distributed",
     "make_mesh",
     "BatchedLinks",
     "batched_frequency_response",

@@ -355,16 +355,17 @@ def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int):
 
 
 @lru_cache(maxsize=256)
-def _rx_kernel_batch(key: tuple, n_ldpc_iter: int):
+def _rx_kernel_batch(key: tuple, n_ldpc_iter: int, rx_is_tuple: bool):
     """Vmapped receive over same-layout grants, with the per-grant rx grid
     selected INSIDE the program (rx_all[idx]) so the engine never pays eager
-    gather dispatches. Soft buffers are always present (zeros for fresh HARQ
-    processes — additive identity in rate_recover), so one compiled program
-    serves new tx and retx alike."""
+    gather dispatches. Soft buffers arrive as a per-grant tuple and stack
+    inside the program (zeros for fresh HARQ processes — additive identity in
+    rate_recover), so one compiled program serves new tx and retx alike."""
     fn = _make_rx_fn(key, True, n_ldpc_iter)
 
     def wrapped(rx_all, idx, seq, refs, prbs, rv, bufs):
-        return jax.vmap(fn)(rx_all[idx], seq, refs, prbs, rv, bufs)
+        rx = jnp.stack(rx_all) if rx_is_tuple else rx_all
+        return jax.vmap(fn)(rx[idx], seq, refs, prbs, rv, jnp.stack(bufs))
 
     return jax.jit(wrapped)
 
@@ -396,11 +397,13 @@ def sch_receive(
 
 
 def _stack_grant_inputs(grants: list):
+    """Host-side (numpy) stacked per-grant inputs; the jit boundary does the
+    single transfer. No eager device op is ever issued."""
     lay = _layout(grants[0].layout_key())
-    seq = jnp.asarray(np.stack([_scrambling_seq(g, lay["cfg"].g) for g in grants]))
-    refs = jnp.asarray(np.stack([_dmrs_refs(g, lay["dsyms"]) for g in grants]))
-    prbs = jnp.asarray(np.stack([np.asarray(g.prbs, np.int32) for g in grants]))
-    rv = jnp.asarray(np.asarray([g.rv for g in grants], np.int32))
+    seq = np.stack([_scrambling_seq(g, lay["cfg"].g) for g in grants])
+    refs = np.stack([_dmrs_refs(g, lay["dsyms"]) for g in grants])
+    prbs = np.stack([np.asarray(g.prbs, np.int32) for g in grants])
+    rv = np.asarray([g.rv for g in grants], np.int32)
     return lay, seq, refs, prbs, rv
 
 
@@ -418,12 +421,8 @@ def sch_transmit_batch(
     w_kind = "wideband" if w_list[0].ndim == 2 else "prg"
     _, seq, refs, prbs, rv = _stack_grant_inputs(grants)
     fn = _tx_kernel_batch(key, w_kind, reduce_sum)
-    tb = (
-        np.stack(tb_list)
-        if all(isinstance(t, np.ndarray) for t in tb_list)
-        else jnp.stack([jnp.asarray(t) for t in tb_list])
-    )
-    return fn(tb, seq, refs, prbs, rv, jnp.stack(w_list))
+    tb = np.stack([np.asarray(t) for t in tb_list])
+    return fn(tb, seq, refs, prbs, rv, np.stack([np.asarray(w) for w in w_list]))
 
 
 def grant_soft_buffer_shape(grant: SCHGrant) -> tuple:
@@ -449,26 +448,15 @@ def sch_receive_batch(
     key = grants[0].layout_key()
     lay, seq, refs, prbs, rv = _stack_grant_inputs(grants)
     if rx_indices is None:
-        rx_all = jnp.stack(list(rx))
-        idx = jnp.arange(len(grants), dtype=jnp.int32)
+        # legacy list input: stack happens inside the program (tuple pytree)
+        rx_all = tuple(rx)
+        idx = np.arange(len(grants), dtype=np.int32)
     else:
         rx_all = rx
-        idx = jnp.asarray(np.asarray(rx_indices, np.int32))
-    if all(b is None for b in soft_buffers_list):
-        bufs = jnp.zeros(
-            (len(grants), *grant_soft_buffer_shape(grants[0])), jnp.float32
-        )
-    else:
-        zeros = None
-        stacked = []
-        for b in soft_buffers_list:
-            if b is None:
-                if zeros is None:
-                    zeros = jnp.zeros(grant_soft_buffer_shape(grants[0]), jnp.float32)
-                b = zeros
-            stacked.append(b)
-        bufs = jnp.stack(stacked)
-    fn = _rx_kernel_batch(key, n_ldpc_iter)
+        idx = np.asarray(rx_indices, np.int32)
+    zeros = np.zeros(grant_soft_buffer_shape(grants[0]), np.float32)
+    bufs = tuple(b if b is not None else zeros for b in soft_buffers_list)
+    fn = _rx_kernel_batch(key, n_ldpc_iter, isinstance(rx_all, tuple))
     out = fn(rx_all, idx, seq, refs, prbs, rv, bufs)
     out["tbs"] = lay["tbs"]
     return out

@@ -125,11 +125,12 @@ class _CrossChannel:
         self.amp = jnp.asarray(np.sqrt(p_re * g / n_re).astype(np.float32))
 
     def h(self, slot: int) -> jnp.ndarray:
+        from isac_tpu.sim.cell import _h_slot_jit
+
         t = slot * self._slot_dur + self._sym_t
         ft = jnp.asarray(time_phases(self._nu, t))
-        h = _freq_response_jit(ft, self._ff, self._c2)
         n_rx, n_tx = self._shape
-        return h.reshape(h.shape[0], 14, self._n_sc, n_rx, n_tx)
+        return _h_slot_jit(ft, self._ff, self._c2, self._n_sc, n_rx, n_tx)
 
 
 class SyncNetworkRunner:
@@ -179,7 +180,9 @@ class SyncNetworkRunner:
                     if states[s] is None:
                         continue
                     term = _cross_rx_jit(states[s]["port_grid"], xc.h(slot), xc.amp)
-                    ext = term if ext is None else ext + term
+                    from isac_tpu.sim.cell import _add_jit
+
+                    ext = term if ext is None else _add_jit(ext, term)
                 sim._dl_rx_phase(slot, info["csi_slot"], states[d], ext=ext)
             # 3) UL + BSR + SRS per cell (inter-cell UL interference not
             # modeled — the reference models none at all)
