@@ -1240,9 +1240,14 @@ class CellSimulator:
 
     # ------------------------------------------------------------------- run
 
-    def run(self) -> dict:
-        """Main slot loop (cellSimulation.m:147-187) + sensing post-pass."""
-        for slot in range(self.num_slots):
+    def run(self, start_slot: int = 0, stop_slot: int | None = None,
+            finalize: bool = True):
+        """Main slot loop (cellSimulation.m:147-187) + sensing post-pass.
+
+        start_slot/stop_slot bound the loop for checkpoint/resume
+        (SURVEY §5.4: the reference has no checkpointing; block-carried state
+        makes slot boundaries natural checkpoints)."""
+        for slot in range(start_slot, self.num_slots if stop_slot is None else stop_slot):
             info = self._slot_begin(slot)
             n_dl = self._dl_syms(info)
             if n_dl:
@@ -1250,4 +1255,67 @@ class CellSimulator:
                 if st is not None:
                     self._dl_rx_phase(slot, info["csi_slot"], st)
             self._slot_finish(slot, info)
-        return self.finalize()
+        if finalize:
+            return self.finalize()
+        return None
+
+    # --------------------------------------------------------- checkpointing
+
+    _CKPT_FIELDS = (
+        "scheduler", "rlc_gnb", "rlc_ue", "lcp_dl", "lcp_ul",
+        "traffic_dl", "traffic_ul", "pending", "_deferred", "rx_soft_bufs",
+        "srs_due", "metrics", "sched_log",
+    )
+
+    def checkpoint(self, next_slot: int) -> dict:
+        """Host-serializable snapshot of ALL carried simulation state at a
+        slot boundary (SURVEY §5.4; the reference persists results only).
+
+        Device-resident values (deferred CRC/CSI results, HARQ soft buffers,
+        accumulated sensing slots) are pulled to host numpy — a value copy,
+        not a semantic change: their protocol due slots are part of the
+        snapshot and fire identically after restore. The result pickles."""
+        import copy
+        import pickle
+
+        memo: dict = {}
+
+        def to_host(obj):
+            oid = id(obj)
+            if oid in memo:
+                return memo[oid]
+            if isinstance(obj, jax.Array):
+                out = np.asarray(obj)
+            elif isinstance(obj, dict):
+                out = {}
+                memo[oid] = out
+                out.update({k: to_host(v) for k, v in obj.items()})
+                return out
+            elif isinstance(obj, (list, tuple)):
+                out = type(obj)(to_host(v) for v in obj)
+            else:
+                out = obj
+            memo[oid] = out
+            return out
+
+        state = {"next_slot": next_slot, "seed": self._seed,
+                 "cell_name": self.cell.name}
+        for f in self._CKPT_FIELDS:
+            state[f] = to_host(getattr(self, f))
+        state["_sen_slots"] = (
+            to_host(self._sen_slots) if self.enable_sensing else None
+        )
+        # round-trip through pickle so callers can also persist the blob
+        return pickle.loads(pickle.dumps(copy.deepcopy(state)))
+
+    def restore(self, state: dict):
+        """Load a checkpoint() snapshot into a freshly constructed simulator
+        of the SAME configuration; continue with
+        run(start_slot=state['next_slot'])."""
+        if state["cell_name"] != self.cell.name or state["seed"] != self._seed:
+            raise ValueError("checkpoint belongs to a different cell/seed")
+        for f in self._CKPT_FIELDS:
+            setattr(self, f, state[f])
+        if self.enable_sensing and state["_sen_slots"] is not None:
+            self._sen_slots = state["_sen_slots"]
+        return state["next_slot"]

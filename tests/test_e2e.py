@@ -261,3 +261,30 @@ def test_four_port_cell_uses_row5_csirs():
     comm = res["communication"]
     assert comm["ueDLThroughputMbps"][0] > 10.0
     assert comm["ueDLBLER"][0] < 0.2
+
+
+def test_checkpoint_resume_bit_exact():
+    """SURVEY §5.4 / coverage row 42: slot-boundary checkpoint of ALL carried
+    state (scheduler/HARQ/RLC/traffic/deferred device results/sensing
+    accumulator) pickles, restores into a FRESH simulator, and the resumed
+    run matches the straight-through run exactly — KPIs and sensing RMSE."""
+    import pickle
+
+    sim = open_street_map_city(SimulationParameters())
+    cells = assign_cell_parameters(sim)
+    kw = dict(n_rb_override=51, nfft_override=1024)
+    res_a = CellSimulator(cells[0], **kw).run()
+
+    b1 = CellSimulator(cells[0], **kw)
+    b1.run(stop_slot=10, finalize=False)
+    blob = pickle.dumps(b1.checkpoint(next_slot=10))
+    b2 = CellSimulator(cells[0], **kw)
+    res_b = b2.run(start_slot=b2.restore(pickle.loads(blob)))
+
+    for k in ("ueDLThroughputMbps", "ueULThroughputMbps", "ueDLBLER",
+              "ueULBLER", "ueDLAppGoodputMbps"):
+        np.testing.assert_allclose(
+            res_a["communication"][k], res_b["communication"][k], err_msg=k
+        )
+    assert np.isclose(res_a["sensing"]["rmse"]["rngRMSE"],
+                      res_b["sensing"]["rmse"]["rngRMSE"], equal_nan=True)
