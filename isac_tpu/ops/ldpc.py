@@ -352,16 +352,25 @@ def decode(
     (c2v, total), _ = jax.lax.scan(body, (c2v0, lv), None, length=n_iter)
     hard_full = (total < 0).astype(jnp.int8).reshape(*batch, code.n_cols * z)
     hard = hard_full[..., : code.k]
-    # parity check: all check equations satisfied
+    return hard, parity_check(hard_full, bg, z)
+
+
+@partial(jax.jit, static_argnames=("bg", "z"))
+def parity_check(hard_full: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
+    """Hard bits [..., n_cols*z] -> all-check-equations-satisfied bool [...]."""
+    code, _, _, _, _, fwd_idx, _, _ = _decode_plan(bg, z)
+    e_count = code.rows.shape[0]
+    batch = hard_full.shape[:-1]
     bits_e = _gather_shift(
-        hard_full.reshape(*batch, code.n_cols, z).astype(jnp.float32)[..., cols_j, :],
+        hard_full.reshape(*batch, code.n_cols, z).astype(jnp.float32)[
+            ..., jnp.asarray(code.cols), :
+        ],
         fwd_idx,
     )
     row_oneh = np.zeros((code.n_rows, e_count), np.float32)
     row_oneh[code.rows, np.arange(e_count)] = 1.0
     syn = jnp.einsum("re,...ez->...rz", jnp.asarray(row_oneh), bits_e)
-    parity_ok = jnp.all(jnp.mod(jnp.round(syn), 2.0) == 0, axis=(-2, -1))
-    return hard, parity_ok
+    return jnp.all(jnp.mod(jnp.round(syn), 2.0) == 0, axis=(-2, -1))
 
 
 # ----------------------------------------------------------------- rate matching

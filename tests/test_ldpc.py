@@ -276,3 +276,52 @@ def test_external_ldpc_tables_hook(tmp_path, monkeypatch):
     p.write_text(json.dumps(data))
     with pytest.raises(ValueError, match="support mismatch"):
         ldpc_tables.build_entries(2)
+
+
+def test_layered_decoder_impls_agree():
+    """The scan-formulated XLA layered decoder and the VMEM Pallas kernel
+    (interpreter mode on CPU) are the same algorithm: identical hard
+    decisions and parity flags on noisy input."""
+    from isac_tpu.ops.ldpc_layered import decode_layered
+
+    bg, z = 2, 64
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, (4, code.k)).astype(np.int8)
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
+    y = (1.0 - 2.0 * cw) + 0.8 * rng.standard_normal(cw.shape)
+    llr = (2.0 * y / 0.64).astype(np.float32)
+    llr[:, : 2 * z] = 0.0
+    h_x, ok_x = decode_layered(jnp.asarray(llr), bg, z, n_iter=4, impl="xla")
+    h_p, ok_p = decode_layered(jnp.asarray(llr), bg, z, n_iter=4, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(h_x), np.asarray(h_p))
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+
+
+def test_layered_convergence():
+    """Layered at n iterations ~ flooding at 2n (the basis for
+    sch_decode(schedule='auto') running flooding-2x): at an SNR where
+    flooding-6 loses blocks, layered-6 and flooding-12 recover them."""
+    from isac_tpu.ops.ldpc_layered import decode_layered
+
+    bg, z = 2, 128
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(4)
+    msg = rng.integers(0, 2, (8, code.k)).astype(np.int8)
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
+    x = 1.0 - 2.0 * cw
+    sigma = 1.05
+    fails = {"lay6": 0, "flood6": 0, "flood12": 0}
+    for _ in range(4):
+        y = x + sigma * rng.standard_normal(x.shape)
+        llr = (2.0 * y / sigma**2).astype(np.float32)
+        llr[:, : 2 * z] = 0.0
+        _, a = decode_layered(jnp.asarray(llr), bg, z, n_iter=6, impl="xla")
+        _, b = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=6)
+        _, c = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=12)
+        fails["lay6"] += int((~np.asarray(a)).sum())
+        fails["flood6"] += int((~np.asarray(b)).sum())
+        fails["flood12"] += int((~np.asarray(c)).sum())
+    assert fails["flood6"] > 0, "SNR point too easy to discriminate schedules"
+    assert fails["lay6"] <= fails["flood6"] // 2
+    assert abs(fails["lay6"] - fails["flood12"]) <= 2
