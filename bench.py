@@ -10,8 +10,19 @@ Times the two hot paths at reference scale (100 MHz / 273 PRB @ SCS 30,
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The reference publishes no benchmark numbers (BASELINE.md: published = {});
-vs_baseline is therefore reported against the r2 recorded value when present
-in BENCH_r02.json-style history, else 1.0.
+vs_baseline is reported against the best prior HONESTLY-TIMED recorded value
+(extra.timing_fence present), else 1.0.
+
+TIMING HONESTY NOTE (r3): the axon TPU relay (a) executes COMPILED programs
+only — any eager primitive produces a poisoned buffer whose consumers never
+execute, erroring only at fetch — and (b) `block_until_ready` does NOT
+synchronize with real device execution. The r1/r2 bench numbers (e.g.
+"9.47 Gbps PDSCH") were therefore enqueue-time artifacts of programs that
+never ran (their input `h` was produced by an eager multiply). r3 onward:
+every input is built by jitted programs, the timed region is ONE jitted
+lax.scan over n distinct per-step inputs, and timing is fenced by fetching
+an f32 scalar that data-depends on every step. These numbers are ~2-3
+orders of magnitude smaller than r1/r2's — they are the real ones.
 """
 
 from __future__ import annotations
@@ -22,32 +33,56 @@ import time
 import numpy as np
 
 
-def _time_it(fn, n_iter=5):
-    out = fn()
-    jax_block(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn()
-    jax_block(out)
-    return (time.perf_counter() - t0) / n_iter
+def _fenced_scan(step_fn, xs, n_steps):
+    """Time ONE jitted lax.scan over stacked per-step inputs, fenced by an
+    f32-scalar fetch that depends on every step. Returns (s/step, value).
 
-
-def jax_block(out):
+    First dispatch pays compile + warmup; the second is the measurement.
+    Per-call dispatch/fetch RTT amortizes across n_steps."""
     import jax
+    import jax.numpy as jnp
 
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
-    )
+    @jax.jit
+    def run(xs_):
+        def body(acc, x):
+            return acc + step_fn(x), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    v = float(np.asarray(run(xs)))  # compile + warm (forces real execution)
+    t0 = time.perf_counter()
+    v = float(np.asarray(run(xs)))
+    dt = time.perf_counter() - t0
+    return dt / n_steps, v
 
 
-def bench_pdsch(n_prb=273, n_links=4, mcs=19, n_layers=2):
+def bench_pdsch(n_prb=273, n_links=4, mcs=19, n_layers=2, n_steps=6):
+    import jax.numpy as jnp
+
     import __graft_entry__ as ge
     from isac_tpu.parallel.links import make_sharded_link_step
 
     g, args, tbs = ge._example_link_batch(n_prb=n_prb, n_links=n_links, mcs=mcs,
                                           n_layers=n_layers)
+    tb, w, h, noise = args
     fn, _ = make_sharded_link_step(g, mesh=None)
-    dt = _time_it(lambda: fn(*args))
+    # distinct payloads + noise per step (host-built, device-transferred —
+    # never eager), so no caching layer can collapse the steps
+    rng = np.random.default_rng(1)
+    tb_s = jnp.asarray(rng.integers(0, 2, (n_steps, *tb.shape)).astype(np.int8))
+    ns_s = jnp.asarray(
+        ((rng.standard_normal((n_steps, *noise.shape))
+          + 1j * rng.standard_normal((n_steps, *noise.shape))) * np.sqrt(0.5)
+         ).astype(np.complex64)
+    )
+
+    def step(x):
+        tb_i, ns_i = x
+        out = fn(tb_i, w, h, ns_i)
+        return (jnp.sum(out["sinr_db"]) + jnp.sum(out["crc_ok"].astype(jnp.float32))
+                + jnp.sum(out["tb"][..., :64].astype(jnp.float32)))
+
+    dt, _ = _fenced_scan(step, (tb_s, ns_s), n_steps)
     info_bits = tbs * n_links
     n_samples = n_links * 2 * 14 * n_prb * 12  # rx REs processed
     return {
@@ -58,7 +93,7 @@ def bench_pdsch(n_prb=273, n_links=4, mcs=19, n_layers=2):
     }
 
 
-def bench_sensing(n_prb=273, num_slots=20):
+def bench_sensing(n_prb=273, num_slots=20, n_steps=6):
     import jax
     import jax.numpy as jnp
 
@@ -85,23 +120,31 @@ def bench_sensing(n_prb=273, num_slots=20):
         (rng.integers(0, 2, (gnb.num_tx_ants, num_slots * 14, n_sc)) * 2 - 1)
         + 1j * (rng.integers(0, 2, (gnb.num_tx_ants, num_slots * 14, n_sc)) * 2 - 1)
     ).astype(np.complex64) / np.sqrt(2)
-    amp = 10 ** ((gnb.tx_power_dbm - 30) / 20) * np.sqrt(
-        info.nfft**2 / (n_sc * gnb.num_tx_ants)
+    amp = float(
+        10 ** ((gnb.tx_power_dbm - 30) / 20)
+        * np.sqrt(info.nfft**2 / (n_sc * gnb.num_tx_ants))
     )
-    tx_grid = jnp.asarray(grid) * np.float32(amp)
-    tx_wave = (ofdm_modulate(tx_grid, info).T).block_until_ready()
     cfg = make_cfar_config(p)
-    key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def chain(wave, tx_g, k):
-        rx_grid = mono_static_sensing(wave, p, info, n_sc, num_slots, k)
-        rdm = range_doppler_map(rx_grid, tx_g, p.n_ifft, p.n_fft)
+    def prep(g):  # scale + OFDM-modulate in one program (eager-free)
+        gs = g * jnp.complex64(amp)
+        return gs, ofdm_modulate(gs, info).T
+
+    tx_grid, tx_wave = prep(jnp.asarray(grid))
+    # raw threefry key data built on host: [n_steps, 2] uint32
+    keys = jnp.asarray(
+        np.stack([np.array([7, i], np.uint32) for i in range(n_steps)])
+    )
+
+    def step(k):
+        rx_grid = mono_static_sensing(tx_wave, p, info, n_sc, num_slots, k)
+        rdm = range_doppler_map(rx_grid, tx_grid, p.n_ifft, p.n_fft)
         power = jnp.abs(rdm) ** 2
         det = cfar_detect_map(power, cfg)
-        return det.sum()
+        return det.sum().astype(jnp.float32)
 
-    dt = _time_it(lambda: chain(tx_wave, tx_grid, key))
+    dt, _ = _fenced_scan(step, keys, n_steps)
     return {
         "sensing_chain_s": dt,
         "rdm_per_s": 1.0 / dt,
@@ -129,7 +172,9 @@ def bench_engine(n_rb=51, nfft=1024):
 
     def readback_ok():
         try:
-            np.asarray(jax.jit(lambda: 1 + jax.numpy.zeros(2))())
+            f, b = jax.jit(lambda: (1 + jax.numpy.zeros(2), jax.numpy.zeros(2) > 0))()
+            np.asarray(f)
+            np.asarray(b)  # the closed loop reads CRC bools back every slot
             return True
         except Exception:
             return False
@@ -215,7 +260,11 @@ def _flops_estimates(extra):
 
 
 def _best_prior_bench():
-    """Best prior pdsch_info_mbps from recorded BENCH_r*.json history."""
+    """Best prior HONESTLY-TIMED pdsch_info_mbps from BENCH_r*.json history.
+
+    Records without extra.timing_fence predate the r3 timing fix (their
+    numbers are enqueue-time artifacts — see the module docstring) and are
+    not comparable."""
     import glob
 
     best = None
@@ -223,7 +272,10 @@ def _best_prior_bench():
         try:
             with open(path) as f:
                 rec = json.load(f)
-            v = (rec.get("parsed") or {}).get("extra", {}).get("pdsch_info_mbps")
+            extra = (rec.get("parsed") or {}).get("extra", {})
+            if "timing_fence" not in extra:
+                continue
+            v = extra.get("pdsch_info_mbps")
             if v:
                 best = max(best or 0.0, float(v))
         except Exception:
@@ -234,7 +286,14 @@ def _best_prior_bench():
 def main():
     import jax
 
-    extra = {"backend": jax.default_backend(), "n_devices": len(jax.devices())}
+    extra = {
+        "backend": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+        # honesty marker: timed region is a jitted scan over distinct inputs,
+        # fenced by an f32 readback (real execution). r1/r2 records lack this
+        # marker — their numbers were enqueue-time artifacts (module docstring)
+        "timing_fence": "jitted-scan+f32-readback",
+    }
     try:
         extra.update(bench_pdsch())
     except Exception as e:  # never leave the driver without a JSON line

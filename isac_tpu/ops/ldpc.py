@@ -296,16 +296,25 @@ def _decode_plan(bg: int, z: int):
     return code, row_edges, row_pad, edge_slot, col_onehot, fwd_idx, inv_idx, dmax
 
 
-@partial(jax.jit, static_argnames=("bg", "z", "n_iter", "norm"))
+@partial(jax.jit, static_argnames=("bg", "z", "n_iter", "norm", "early_exit"))
 def decode(
     llr: jnp.ndarray,
     bg: int,
     z: int,
     n_iter: int = 6,
     norm: float = 0.75,
+    early_exit: bool = True,
 ):
     """Flooding normalized min-sum. llr [..., n_full] (positive = bit 0)
-    -> (hard bits [..., K] int8, parity_ok [...] bool)."""
+    -> (hard bits [..., K] int8, parity_ok [...] bool).
+
+    early_exit: stop as soon as EVERY codeword in the batch satisfies all
+    parity checks (a lax.while_loop bounded by n_iter; the per-iteration
+    syndrome check costs ~25% of an iteration). At high SNR this converges
+    in 3-5 iterations, so sch_decode's quality-matched 2x-iteration budget
+    costs nothing where blocks decode cleanly; a failing codeword still
+    runs the full budget (and keeps every batch lane running with it —
+    flooding work is batched, not per-lane)."""
     code, row_edges, row_pad, edge_slot, col_onehot, fwd_idx, inv_idx, dmax = _decode_plan(bg, z)
     e_count = code.rows.shape[0]
     batch = llr.shape[:-1]
@@ -349,7 +358,32 @@ def decode(
         new_total = lv + agg
         return (new_c2v, new_total), None
 
-    (c2v, total), _ = jax.lax.scan(body, (c2v0, lv), None, length=n_iter)
+    if early_exit:
+        row_oneh = np.zeros((code.n_rows, e_count), np.float32)
+        row_oneh[code.rows, np.arange(e_count)] = 1.0
+        row_oneh_j = jnp.asarray(row_oneh)
+
+        def all_ok(total):
+            bits = (total < 0).astype(jnp.float32)
+            bits_e = _gather_shift(bits[..., cols_j, :], fwd_idx)
+            syn = jnp.einsum("re,...ez->...rz", row_oneh_j, bits_e,
+                             preferred_element_type=jnp.float32)
+            return jnp.all(jnp.mod(jnp.round(syn), 2.0) == 0)
+
+        def w_cond(carry):
+            _, total, it, ok = carry
+            return (it < n_iter) & ~ok
+
+        def w_body(carry):
+            c2v, total, it, _ = carry
+            (c2v, total), _ = body((c2v, total), None)
+            return (c2v, total, it + 1, all_ok(total))
+
+        _, total, _, _ = jax.lax.while_loop(
+            w_cond, w_body, (c2v0, lv, jnp.int32(0), jnp.bool_(False))
+        )
+    else:
+        (c2v, total), _ = jax.lax.scan(body, (c2v0, lv), None, length=n_iter)
     hard_full = (total < 0).astype(jnp.int8).reshape(*batch, code.n_cols * z)
     hard = hard_full[..., : code.k]
     return hard, parity_check(hard_full, bg, z)

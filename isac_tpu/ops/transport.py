@@ -188,15 +188,13 @@ def sch_decode(
     normalized min-sum, 6 iterations; gNBPhy.m:239-253) converges ~2x per
     iteration vs flooding, so naive flooding at the same n_iter sits ~1 dB
     to the right of the reference's BLER curve:
-      'auto' (default): flooding at 2*n_iter — measured equivalent BLER to
-        layered at n_iter (tests/test_ldpc.py::test_layered_convergence)
-        while keeping the fully-parallel dataflow that is 10-20x faster on
-        TPU than any serial-layer schedule (0.04 ms vs 0.5-0.6 ms for a
-        28-codeword BG1 Z=384 decode on v5e; see ops/ldpc_layered.py).
-      'layered': true serial-C layered schedule at n_iter (XLA scan over
-        rows, or the VMEM-resident Pallas kernel on TPU via
-        ldpc_layered.decode_layered(impl='pallas')).
-      'flooding': raw flooding at n_iter (the pre-r3 behavior).
+      'auto'/'layered' (default): serial-C layered schedule at n_iter —
+        the reference schedule, and ALSO the fastest measured TPU path
+        (the VMEM-resident Pallas kernel: 4.6 ms vs 17.8-49.1 ms for the
+        quality-matched flooding budget on a 28-codeword BG1 Z=384 v5e
+        decode; ops/ldpc_layered.py has the full numbers).
+      'flooding': fully-parallel flooding at n_iter with parity early exit
+        (pass 2*n_iter for layered-equivalent BLER).
     """
     code_n = (66 if cfg.bg == 1 else 50) * cfg.z
     if soft_buffers is None:
@@ -211,13 +209,12 @@ def sch_decode(
             seg, cfg.bg, cfg.z, rv, cfg.n_filler, cfg.k, cfg.qm,
             soft_buffer=soft_buffers[st : st + cnt],
         )
-        if schedule == "layered":
+        if schedule in ("auto", "layered"):
             from isac_tpu.ops.ldpc_layered import decode_layered
 
             hard, parity_ok = decode_layered(full, cfg.bg, cfg.z, n_iter=n_iter)
         else:
-            eff = 2 * n_iter if schedule == "auto" else n_iter
-            hard, parity_ok = ldpc.decode(full, cfg.bg, cfg.z, n_iter=eff)
+            hard, parity_ok = ldpc.decode(full, cfg.bg, cfg.z, n_iter=n_iter)
         hard_runs.append(hard[..., : cfg.k_prime])  # [..., cnt, K']
         ok_runs.append(parity_ok)  # [..., cnt]
         buf_runs.append(buf)

@@ -51,20 +51,34 @@ def stack_links(links: list[CDLLink]) -> BatchedLinks:
 
 
 def batched_frequency_response(
-    bl: BatchedLinks, t_syms: np.ndarray, freqs: np.ndarray
+    bl: BatchedLinks, t_syms: np.ndarray, freqs: np.ndarray, scale: float = 1.0
 ) -> jnp.ndarray:
     """H[L, S, K, rx, tx] for all links at once — one MXU contraction over rays
-    (the reference steps one nrCDLChannel object per UE per slot)."""
+    (the reference steps one nrCDLChannel object per UE per slot).
+
+    Emitted as ONE jitted program including the reshape and any amplitude
+    scale: the axon TPU relay executes compiled programs only, and an eager
+    op (even `h * 1579.0`) silently poisons every downstream buffer — the
+    error surfaces only at fetch time (see bench.py)."""
     L, n_rx, n_tx, R = bl.coeff.shape
     tt = np.asarray(t_syms, np.float64)
-    ft = jnp.asarray(np.exp(2j * np.pi * tt[None, :, None] * bl.nu[:, None, :]).astype(np.complex64))
-    ff = jnp.asarray(
-        np.exp(-2j * np.pi * freqs.astype(np.float64)[None, :, None] * bl.tau[:, None, :]).astype(np.complex64)
-    )  # [L, K, R]
-    ph = ft[:, :, None, :] * ff[:, None, :, :]  # [L, S, K, R]
-    c2 = jnp.asarray(bl.coeff.reshape(L, n_rx * n_tx, R))
-    h = jnp.einsum("lskr,lar->lska", ph, c2, preferred_element_type=jnp.complex64)
-    return h.reshape(L, len(tt), len(freqs), n_rx, n_tx)
+    ft = np.exp(2j * np.pi * tt[None, :, None] * bl.nu[:, None, :]).astype(np.complex64)
+    ff = np.exp(
+        -2j * np.pi * freqs.astype(np.float64)[None, :, None] * bl.tau[:, None, :]
+    ).astype(np.complex64)  # [L, K, R]
+
+    @partial(jax.jit, static_argnames=("s", "k", "sc"))
+    def _h(ft_j, ff_j, c2_j, s, k, sc):
+        ph = ft_j[:, :, None, :] * ff_j[:, None, :, :]  # [L, S, K, R]
+        h = jnp.einsum("lskr,lar->lska", ph, c2_j,
+                       preferred_element_type=jnp.complex64)
+        return (h * jnp.complex64(sc)).reshape(L, s, k, n_rx, n_tx)
+
+    return _h(
+        jnp.asarray(ft), jnp.asarray(ff),
+        jnp.asarray(bl.coeff.reshape(L, n_rx * n_tx, R)),
+        len(tt), len(freqs), float(scale),
+    )
 
 
 def make_sharded_link_step(
