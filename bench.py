@@ -153,6 +153,38 @@ def bench_sensing(n_prb=273, num_slots=20, n_steps=6):
     }
 
 
+def bench_ldpc_decode(bg=1, z=384, n_cw=28, n_iter=6, n_steps=6):
+    """Fallback kernel bench: the production LDPC decode (VMEM Pallas layered
+    kernel on TPU) on a 273-PRB-class batch — the chain's dominant kernel and
+    one verified to EXECUTE on the axon relay (ops/ldpc_layered.py). Used
+    when the full-chain bench hits a relay UNIMPLEMENTED op, so the recorded
+    number is always a really-executed one."""
+    import jax.numpy as jnp
+
+    from isac_tpu.ops import ldpc
+    from isac_tpu.ops.ldpc_layered import decode_layered
+
+    code = ldpc.lifted_code(bg, z)
+    rng = np.random.default_rng(3)
+    # random LLRs are fine for throughput (fixed iteration count, no early exit)
+    llr = jnp.asarray(
+        rng.standard_normal((n_steps, n_cw, code.n_full)).astype(np.float32) * 4.0
+    )
+
+    def step(llr_i):
+        hard, ok = decode_layered(llr_i, bg, z, n_iter=n_iter)
+        return (jnp.sum(hard[..., :64].astype(jnp.float32))
+                + jnp.sum(ok.astype(jnp.float32)))
+
+    dt, _ = _fenced_scan(step, llr, n_steps)
+    info_bits = n_cw * code.k
+    return {
+        "ldpc_decode_s": dt,
+        "ldpc_decode_info_mbps": info_bits / dt / 1e6,
+        "ldpc_bg": bg, "ldpc_z": z, "ldpc_n_cw": n_cw, "ldpc_n_iter": n_iter,
+    }
+
+
 def bench_engine(n_rb=51, nfft=1024):
     """Engine-level metric (VERDICT r2 #2/#7): simulated-slots/s of the 5-UE
     openStreetMapCity frame through the FULL stack (traffic -> RLC -> MAC ->
@@ -259,8 +291,8 @@ def _flops_estimates(extra):
     return out
 
 
-def _best_prior_bench():
-    """Best prior HONESTLY-TIMED pdsch_info_mbps from BENCH_r*.json history.
+def _best_prior_bench(key="pdsch_info_mbps"):
+    """Best prior HONESTLY-TIMED `key` from BENCH_r*.json history.
 
     Records without extra.timing_fence predate the r3 timing fix (their
     numbers are enqueue-time artifacts — see the module docstring) and are
@@ -275,7 +307,7 @@ def _best_prior_bench():
             extra = (rec.get("parsed") or {}).get("extra", {})
             if "timing_fence" not in extra:
                 continue
-            v = extra.get("pdsch_info_mbps")
+            v = extra.get(key)
             if v:
                 best = max(best or 0.0, float(v))
         except Exception:
@@ -302,22 +334,38 @@ def main():
         extra.update(bench_sensing())
     except Exception as e:
         extra["sensing_error"] = repr(e)[:200]
+    if "pdsch_info_mbps" not in extra:
+        # the relay rejects an op in the full chain (tracked in pdsch_error);
+        # fall back to the dominant kernel so the record is a real execution
+        try:
+            extra.update(bench_ldpc_decode())
+        except Exception as e:
+            extra["ldpc_error"] = repr(e)[:200]
     try:
         extra.update(bench_engine())
     except Exception as e:
         extra["engine_error"] = repr(e)[:200]
     extra.update(_flops_estimates(extra))
-    value = extra.get("pdsch_info_mbps", 0.0)
-    best_prior = _best_prior_bench()
+    if "pdsch_info_mbps" in extra:
+        metric, value = "pdsch_chain_info_rate", extra["pdsch_info_mbps"]
+    elif "ldpc_decode_info_mbps" in extra:
+        metric, value = "ldpc_decode_info_rate", extra["ldpc_decode_info_mbps"]
+    else:
+        metric, value = "engine_slots_per_s", extra.get("engine_slots_per_s", 0.0)
+    best_prior = _best_prior_bench(
+        "pdsch_info_mbps" if metric.startswith("pdsch")
+        else "ldpc_decode_info_mbps" if metric.startswith("ldpc")
+        else "engine_slots_per_s"
+    )
     # the reference publishes no numbers (BASELINE.md); baseline = best prior
-    # recorded round of THIS framework, so vs_baseline tracks real progress
+    # honestly-timed recorded round of THIS framework
     vs = (float(value) / best_prior) if best_prior else 1.0
     print(
         json.dumps(
             {
-                "metric": "pdsch_chain_info_rate",
+                "metric": metric,
                 "value": round(float(value), 3),
-                "unit": "Mbps",
+                "unit": "Mbps" if metric.endswith("rate") else "slots/s",
                 "vs_baseline": round(vs, 4),
                 "extra": {k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in extra.items()},

@@ -392,14 +392,72 @@ def mmse_equalize(
     a = jnp.einsum("...lr,...rm->...lm", hh, h)  # H^H H [S, K, L, L]
     nv = jnp.asarray(noise_var, a.real.dtype)
     a_reg = a + nv * jnp.eye(n_layers, dtype=a.dtype)
+    # explicit Hermitian inverse (closed form for L <= 4): batched tiny LU
+    # (jnp.linalg.solve) lowers to a sequential custom call that wastes the
+    # VPU and the axon relay rejects outright; cofactor expansion is a few
+    # fused elementwise ops on [S, K] tensors and XLA fuses it into the
+    # surrounding einsums
+    a_inv = _small_hermitian_inverse(a_reg)
     rhs = jnp.einsum("...lr,...rm->...lm", hh, y)  # H^H y [S, K, L, 1]
-    x = jnp.linalg.solve(a_reg, rhs)[..., 0]  # [S, K, L]
+    x = jnp.einsum("...lm,...mo->...lo", a_inv, rhs)[..., 0]  # [S, K, L]
     # bias mu_l = [A^-1 H^H H]_ll ; SINR = mu/(1-mu)
-    ainv_hh = jnp.linalg.solve(a_reg, a)  # [S, K, L, L]
+    ainv_hh = jnp.einsum("...lm,...mo->...lo", a_inv, a)  # [S, K, L, L]
     mu = jnp.clip(jnp.real(jnp.diagonal(ainv_hh, axis1=-2, axis2=-1)), 1e-6, 1.0 - 1e-6)
     sym = x / mu.astype(x.dtype)
     sinr = mu / (1.0 - mu)
     return jnp.transpose(sym, (2, 0, 1)), jnp.transpose(sinr, (2, 0, 1))
+
+
+def _small_hermitian_inverse(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched [..., L, L] Hermitian positive-definite
+    matrices, L in {1, 2, 3, 4} (NR layer counts). L=4 uses 2x2 blockwise
+    inversion (Schur complement), L<=3 direct cofactors."""
+    l = a.shape[-1]
+    if l == 1:
+        return 1.0 / a
+    if l == 2:
+        det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+                jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return inv / det[..., None, None]
+    if l == 3:
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+        c10 = a[..., 2, 1] * a[..., 0, 2] - a[..., 2, 2] * a[..., 0, 1]
+        c11 = a[..., 2, 2] * a[..., 0, 0] - a[..., 2, 0] * a[..., 0, 2]
+        c12 = a[..., 2, 0] * a[..., 0, 1] - a[..., 2, 1] * a[..., 0, 0]
+        c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+        c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+        c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        rows = [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ]
+        return jnp.stack(rows, axis=-2) / det[..., None, None]
+    if l == 4:
+        p = a[..., :2, :2]
+        q = a[..., :2, 2:]
+        r = a[..., 2:, :2]
+        s = a[..., 2:, 2:]
+        p_inv = _small_hermitian_inverse(p)
+        # Schur complement of P (PD since A is PD)
+        sc = s - r @ p_inv @ q
+        sc_inv = _small_hermitian_inverse(sc)
+        top_left = p_inv + p_inv @ q @ sc_inv @ r @ p_inv
+        top_right = -(p_inv @ q @ sc_inv)
+        bot_left = -(sc_inv @ r @ p_inv)
+        top = jnp.concatenate([top_left, top_right], axis=-1)
+        bot = jnp.concatenate([bot_left, sc_inv], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    raise NotImplementedError(f"layer count {l} > 4")
 
 
 def timing_estimate(

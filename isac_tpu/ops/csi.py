@@ -68,7 +68,11 @@ def precoded_sinr(h: jnp.ndarray, w: jnp.ndarray, nvar: float) -> jnp.ndarray:
     n_layers = w.shape[-1]
     eye = jnp.eye(n_layers, dtype=a.dtype)
     b = a + eye
-    binv = jnp.linalg.solve(b, jnp.broadcast_to(eye, b.shape))
+    # closed-form Hermitian inverse (L <= 4): fuses on the VPU, and the
+    # batched-LU custom call is rejected by the axon TPU relay
+    from isac_tpu.ops.channel_est import _small_hermitian_inverse
+
+    binv = _small_hermitian_inverse(b)
     d = jnp.clip(jnp.real(jnp.diagonal(binv, axis1=-2, axis2=-1)), 1e-12, 1.0)
     sinr = 1.0 / d - 1.0
     return jnp.where(jnp.isfinite(sinr), jnp.maximum(sinr, 0.0), 0.0)
@@ -76,8 +80,27 @@ def precoded_sinr(h: jnp.ndarray, w: jnp.ndarray, nvar: float) -> jnp.ndarray:
 
 def ri_select(h: jnp.ndarray, nvar: float, max_rank: int = 4) -> jnp.ndarray:
     """Rank by per-rank Shannon capacity on the channel singular values
-    (riSelect.m approach). h [n_re, n_rx, n_tx] -> rank scalar (1-based)."""
-    s = jnp.linalg.svd(h, compute_uv=False)  # [n_re, min(rx,tx)] descending
+    (riSelect.m approach). h [n_re, n_rx, n_tx] -> rank scalar (1-based).
+
+    Singular values come from the rx-side Gram matrix; for n_rx <= 2 (every
+    shipped UE config) the eigenvalues are analytic — no SVD/eig custom call
+    (which the VPU hates and the axon TPU relay rejects)."""
+    n_rx = h.shape[-2]
+    if n_rx <= 2 <= h.shape[-1]:
+        g = jnp.einsum("...rt,...st->...rs", h, jnp.conj(h))  # H H^H [.., rx, rx]
+        if n_rx == 1:
+            s = jnp.sqrt(jnp.maximum(jnp.real(g[..., 0, 0]), 0.0))[..., None]
+        else:
+            tr = jnp.real(g[..., 0, 0] + g[..., 1, 1])
+            det = jnp.real(
+                g[..., 0, 0] * g[..., 1, 1] - g[..., 0, 1] * g[..., 1, 0]
+            )
+            disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+            e1 = jnp.maximum(tr / 2.0 + disc, 0.0)
+            e2 = jnp.maximum(tr / 2.0 - disc, 0.0)
+            s = jnp.sqrt(jnp.stack([e1, e2], axis=-1))  # descending
+    else:
+        s = jnp.linalg.svd(h, compute_uv=False)  # [n_re, min(rx,tx)] descending
     max_rank = min(max_rank, s.shape[-1])
     caps = []
     for r in range(1, max_rank + 1):
