@@ -4,9 +4,11 @@ Replaces MATLAB nrChannelEstimate / nrEqualizeMMSE / nrTimingEstimate +
 skipWeakTimingOffset (reference: gNBPhy.m:916-949, uePhy.m:757-933,
 skipWeakTimingOffset.m:10-24; SURVEY §2.9).
 
-All functions are batched tensor ops: per-RE MIMO MMSE uses jnp.linalg.solve on
-[..., L, L] blocks (small L, batched over sym x sc), LS estimation + OCC
-decode + smoothing are gathers and depthwise convolutions.
+All functions are batched tensor ops: per-RE MIMO MMSE inverts the [L, L]
+Hermitian system in closed form (_small_hermitian_inverse — fuses on the
+VPU; batched LU is a sequential custom call the axon relay also rejects),
+LS estimation + OCC decode + smoothing are gathers and depthwise
+convolutions.
 """
 
 from __future__ import annotations
@@ -14,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from isac_tpu.ops import dft
 
 
 def ls_estimate_port(
@@ -470,9 +474,9 @@ def timing_estimate(
     (nrTimingEstimate + skipWeakTimingOffset.m: accept only if peak >= 5.5x mean)."""
     n = waveform.shape[-1]
     nfft = int(2 ** np.ceil(np.log2(n + ref_waveform.shape[-1])))
-    wf = jnp.fft.fft(waveform, nfft, axis=-1)
-    rf = jnp.fft.fft(ref_waveform, nfft)
-    corr = jnp.abs(jnp.fft.ifft(wf * jnp.conj(rf)[None, :], axis=-1))
+    wf = dft.fft_auto(waveform, nfft, axis=-1)
+    rf = dft.fft_auto(ref_waveform, nfft)
+    corr = jnp.abs(dft.ifft_auto(wf * jnp.conj(rf)[None, :], axis=-1))
     mag = jnp.sum(corr, axis=0)[: max_offset + 1]
     peak = jnp.max(mag)
     offset = jnp.argmax(mag)

@@ -23,6 +23,8 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.ops import dft
+
 from isac_tpu.config.carrier import OFDMInfo
 
 
@@ -60,7 +62,7 @@ def ofdm_modulate(
     bins = _grid_bins(n_sc, info.nfft)
     x = jnp.zeros((*grid.shape[:-1], info.nfft), dtype=jnp.complex64)
     x = x.at[..., bins].set(grid.astype(jnp.complex64))
-    time_syms = jnp.fft.ifft(x, axis=-1)  # MATLAB ifft scaling (1/N)
+    time_syms = dft.ifft_auto(x, axis=-1)  # MATLAB ifft scaling (1/N)
     sym_idx, samp_idx, _ = _modulate_index_maps(info, num_slots, first_slot)
     return time_syms[..., jnp.asarray(sym_idx), jnp.asarray(samp_idx)]
 
@@ -92,7 +94,7 @@ def ofdm_demodulate(
         pad = total - waveform.shape[-1]
         waveform = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(0, pad)])
     windows = waveform[..., jnp.asarray(gather.astype(np.int32))]  # [..., n_sym, nfft]
-    spec = jnp.fft.fft(windows, axis=-1)
+    spec = dft.fft_auto(windows, axis=-1)
     bins = _grid_bins(n_sc, info.nfft)
     # phase de-rotation: starting `early` samples into the CP shifts the IFFT
     # output circularly by -early, i.e. FFT gives X_k * exp(-2pi j k early / N);

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.ops import dft
+
 from isac_tpu.ops.sensing.radar_params import RadarDerived
 from isac_tpu.utils.windows import window
 
@@ -51,9 +53,9 @@ def range_doppler_map(
     rng_win = jnp.asarray(window(win, n_sc), jnp.float32)
     dop_win = jnp.asarray(window(win, n_sym), jnp.float32)
     h = h * rng_win[None, None, :]
-    r = jnp.fft.ifft(h, n=n_ifft, axis=-1) * np.sqrt(n_ifft)  # range profile
+    r = dft.ifft_auto(h, n=n_ifft, axis=-1) * np.sqrt(n_ifft)  # range profile
     r = r * dop_win[None, :, None]
-    rdm = jnp.fft.fft(r, n=n_fft, axis=-2) / np.sqrt(n_fft)  # Doppler
+    rdm = dft.fft_auto(r, n=n_fft, axis=-2) / np.sqrt(n_fft)  # Doppler
     rdm = jnp.fft.fftshift(rdm, axes=-2)  # [n_ants, n_fft, n_ifft]
     return jnp.swapaxes(rdm, -1, -2)  # -> [n_ants, n_ifft(range), n_fft(Doppler)]
 

@@ -12,6 +12,8 @@ from functools import lru_cache
 
 import numpy as np
 
+from isac_tpu.ops import dft
+
 
 def _largest_prime_below(n: int) -> int:
     def is_prime(x):
@@ -106,9 +108,9 @@ def _srs_est_kernel(
     def fn(rx_grid):
         y = rx_grid[:, symbol, jnp.asarray(ks)]  # [n_rx, N]
         ls = y * jnp.asarray(base_conj)
-        g = jnp.fft.ifft(ls, axis=-1)  # delay domain
+        g = dft.ifft_auto(ls, axis=-1)  # delay domain
         gp = g[:, None, :] * jnp.asarray(masks)[None]  # [n_rx, P, N]
-        hp = jnp.fft.fft(gp, axis=-1) * jnp.asarray(derot)[None]
+        hp = dft.fft_auto(gp, axis=-1) * jnp.asarray(derot)[None]
         h = jnp.transpose(hp, (2, 0, 1))  # [N, n_rx, P]
         if per_prb:
             per = n // n_prb  # comb REs per PRB (e.g. 3 at comb 4)

@@ -18,6 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from isac_tpu.ops import dft
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -60,7 +62,7 @@ def range_doppler_map_sharded(
     def step(rx_b, tx_b, w_b):
         # local reciprocal filter + range IFFT over the (unsharded) sc axis
         h = rx_b * jnp.conj(tx_b) * rng_win[None, None, :]
-        r = jnp.fft.ifft(h, n=n_ifft, axis=-1) * np.sqrt(n_ifft)  # [a, blk, n_ifft]
+        r = dft.ifft_auto(h, n=n_ifft, axis=-1) * np.sqrt(n_ifft)  # [a, blk, n_ifft]
         # local Doppler partial: [n_fft, blk] @ [a, blk, n_ifft] -> [a, n_ifft, n_fft]
         part = jnp.einsum(
             "dm,amr->ard", w_b[0], r, preferred_element_type=jnp.complex64
