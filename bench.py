@@ -315,7 +315,45 @@ def _best_prior_bench(key="pdsch_info_mbps"):
     return best
 
 
+def _run_isolated(name, timeout_s):
+    """Run one bench stage in a SUBPROCESS and parse its JSON line.
+
+    Mandatory on the axon relay: after any failed program the client session
+    is wedged — every subsequent device op in the process fails with
+    UNIMPLEMENTED (RELAY_NOTES.md). In-process sequencing made one stage's
+    failure poison all later stages (including known-good ones)."""
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, __file__, "--one", name],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except Exception:
+                continue
+        return {f"{name}_error": (p.stderr.strip().splitlines() or ["no output"])[-1][:200]}
+    except subprocess.TimeoutExpired:
+        return {f"{name}_error": f"timeout after {timeout_s}s"}
+    except Exception as e:
+        return {f"{name}_error": repr(e)[:200]}
+
+
 def main():
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        fn = {"pdsch": bench_pdsch, "sensing": bench_sensing,
+              "ldpc": bench_ldpc_decode, "engine": bench_engine}[sys.argv[2]]
+        try:
+            print(json.dumps(fn()))
+        except Exception as e:
+            print(json.dumps({f"{sys.argv[2]}_error": repr(e)[:200]}))
+        return
+
     import jax
 
     extra = {
@@ -326,25 +364,13 @@ def main():
         # marker — their numbers were enqueue-time artifacts (module docstring)
         "timing_fence": "jitted-scan+f32-readback",
     }
-    try:
-        extra.update(bench_pdsch())
-    except Exception as e:  # never leave the driver without a JSON line
-        extra["pdsch_error"] = repr(e)[:200]
-    try:
-        extra.update(bench_sensing())
-    except Exception as e:
-        extra["sensing_error"] = repr(e)[:200]
+    extra.update(_run_isolated("pdsch", 1800))
+    extra.update(_run_isolated("sensing", 1500))
     if "pdsch_info_mbps" not in extra:
         # the relay rejects an op in the full chain (tracked in pdsch_error);
         # fall back to the dominant kernel so the record is a real execution
-        try:
-            extra.update(bench_ldpc_decode())
-        except Exception as e:
-            extra["ldpc_error"] = repr(e)[:200]
-    try:
-        extra.update(bench_engine())
-    except Exception as e:
-        extra["engine_error"] = repr(e)[:200]
+        extra.update(_run_isolated("ldpc", 900))
+    extra.update(_run_isolated("engine", 1200))
     extra.update(_flops_estimates(extra))
     if "pdsch_info_mbps" in extra:
         metric, value = "pdsch_chain_info_rate", extra["pdsch_info_mbps"]
