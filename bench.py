@@ -70,7 +70,9 @@ def bench_pdsch(n_prb=273, n_links=4, mcs=19, n_layers=2, n_steps=6):
     # never eager), so no caching layer can collapse the steps
     rng = np.random.default_rng(1)
     tb_s = jnp.asarray(rng.integers(0, 2, (n_steps, *tb.shape)).astype(np.int8))
-    ns_s = jnp.asarray(
+    from isac_tpu.utils import xfer
+
+    ns_s = xfer.asarray(
         ((rng.standard_normal((n_steps, *noise.shape))
           + 1j * rng.standard_normal((n_steps, *noise.shape))) * np.sqrt(0.5)
          ).astype(np.complex64)
@@ -131,7 +133,9 @@ def bench_sensing(n_prb=273, num_slots=20, n_steps=6):
         gs = g * jnp.complex64(amp)
         return gs, ofdm_modulate(gs, info).T
 
-    tx_grid, tx_wave = prep(jnp.asarray(grid))
+    from isac_tpu.utils import xfer
+
+    tx_grid, tx_wave = prep(xfer.asarray(grid))
     # raw threefry key data built on host: [n_steps, 2] uint32
     keys = jnp.asarray(
         np.stack([np.array([7, i], np.uint32) for i in range(n_steps)])

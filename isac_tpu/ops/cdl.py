@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.utils import xfer
+
 from isac_tpu.utils.geometry import SPEED_OF_LIGHT
 
 # TR 38.901 Table 7.5-3: ray offset angles within a cluster (20 rays)
@@ -336,9 +338,9 @@ def cdl_frequency_response(
     """
     n_rx, n_tx, n_rays = link.coeff.shape
     tt = np.asarray(t_syms, np.float64)
-    ft = jnp.asarray(time_phases(link.nu, tt))
-    ff = jnp.asarray(freq_phases(link.tau, np.asarray(freqs)))
-    c2 = jnp.asarray(link.coeff.reshape(n_rx * n_tx, n_rays).T)  # [R, rx*tx]
+    ft = xfer.asarray(time_phases(link.nu, tt))
+    ff = xfer.asarray(freq_phases(link.tau, np.asarray(freqs)))
+    c2 = xfer.asarray(link.coeff.reshape(n_rx * n_tx, n_rays).T)  # [R, rx*tx]
     h = _freq_response_jit(ft, ff, c2)
     return h.reshape(len(tt), len(freqs), n_rx, n_tx)
 

@@ -91,21 +91,33 @@ def fft_matmul(x: jnp.ndarray, n: int | None = None, axis: int = -1,
     return out
 
 
-def _on_tpu() -> bool:
+def _use_matmul() -> bool:
+    """Opt-in: ISAC_TPU_MATMUL_DFT=1 forces the matmul form on TPU targets.
+
+    r3 initially believed the relay rejected the FFT custom call; the probe
+    matrix later isolated the real blocker to complex64 H2D transfers
+    (utils/xfer.py), and native FFT works on internally-built complex data.
+    The MXU-matmul form is kept as the measured alternative (it beats the
+    custom call only if profiling says so) and as insurance for relays
+    without the FFT custom call."""
+    import os
+
+    if os.environ.get("ISAC_TPU_MATMUL_DFT") != "1":
+        return False
     dd = jax.config.jax_default_device
     platform = dd.platform if dd is not None else jax.default_backend()
     return platform == "tpu"
 
 
 def fft_auto(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
-    """jnp.fft.fft on CPU/GPU; MXU matmul DFT when tracing for TPU."""
-    if _on_tpu():
+    """jnp.fft.fft, or the MXU matmul DFT when ISAC_TPU_MATMUL_DFT=1 on TPU."""
+    if _use_matmul():
         return fft_matmul(x, n, axis, inverse=False)
     return jnp.fft.fft(x, n=n, axis=axis)
 
 
 def ifft_auto(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
-    """jnp.fft.ifft on CPU/GPU; MXU matmul inverse DFT when tracing for TPU."""
-    if _on_tpu():
+    """jnp.fft.ifft, or the MXU matmul inverse DFT when ISAC_TPU_MATMUL_DFT=1 on TPU."""
+    if _use_matmul():
         return fft_matmul(x, n, axis, inverse=True)
     return jnp.fft.ifft(x, n=n, axis=axis)

@@ -13,6 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from isac_tpu.utils import xfer
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -75,8 +77,8 @@ def batched_frequency_response(
         return (h * jnp.complex64(sc)).reshape(L, s, k, n_rx, n_tx)
 
     return _h(
-        jnp.asarray(ft), jnp.asarray(ff),
-        jnp.asarray(bl.coeff.reshape(L, n_rx * n_tx, R)),
+        xfer.asarray(ft), xfer.asarray(ff),
+        xfer.asarray(bl.coeff.reshape(L, n_rx * n_tx, R)),
         len(tt), len(freqs), float(scale),
     )
 

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.utils import xfer
+
 from isac_tpu.ops import transport
 from isac_tpu.ops.channel_est import estimate_channel_canonical, mmse_equalize
 from isac_tpu.ops.dmrs import DMRS_SYMBOLS_TYPE_A, dmrs_values_for_prbs
@@ -302,7 +304,7 @@ def sch_transmit(
     w_kind = "none" if w is None else ("wideband" if w.ndim == 2 else "prg")
     fn = _tx_kernel(grant.layout_key(), w_kind, extra_grid is not None)
     seq = jnp.asarray(_scrambling_seq(grant, lay["cfg"].g))
-    refs = jnp.asarray(_dmrs_refs(grant, lay["dsyms"]))
+    refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
     w_in = jnp.zeros((1,)) if w is None else w
     extra = jnp.zeros((1,)) if extra_grid is None else extra_grid
@@ -385,7 +387,7 @@ def sch_receive(
     lay = _layout(grant.layout_key())
     fn = _rx_kernel(grant.layout_key(), soft_buffers is not None, n_ldpc_iter)
     seq = jnp.asarray(_scrambling_seq(grant, lay["cfg"].g))
-    refs = jnp.asarray(_dmrs_refs(grant, lay["dsyms"]))
+    refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
     bufs = soft_buffers if soft_buffers is not None else jnp.zeros((1,))
     out = fn(rx_grid, seq, refs, prbs, jnp.int32(grant.rv), bufs)

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.utils import xfer
+
 from isac_tpu.app.traffic import make_traffic
 from isac_tpu.config.carrier import CarrierConfig
 from isac_tpu.config.params import CellParams
@@ -334,8 +336,8 @@ class CellSimulator:
             bl = stack_links(links)
             L, n_rx, n_tx2, R = bl.coeff.shape
             self._bl[d] = {
-                "ff": jnp.asarray(freq_phases(bl.tau, self.freqs)),  # [L, K, R]
-                "c2": jnp.asarray(
+                "ff": xfer.asarray(freq_phases(bl.tau, self.freqs)),  # [L, K, R]
+                "c2": xfer.asarray(
                     bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx2)
                 ),
                 "nu": bl.nu,
@@ -492,7 +494,7 @@ class CellSimulator:
                 self._h_cache.clear()
             b = self._bl[direction]
             t = slot * self.carrier.slot_duration_s + self._sym_t
-            ft = jnp.asarray(time_phases(b["nu"], t))  # [L, 14, R]
+            ft = xfer.asarray(time_phases(b["nu"], t))  # [L, 14, R]
             n_rx, n_tx = b["shape"]
             self._h_cache[key] = _h_slot_jit(
                 ft, b["ff"], b["c2"], self.n_sc, n_rx, n_tx

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.utils import xfer
+
 from isac_tpu.config.params import CellParams, SimulationParameters, assign_cell_parameters
 from isac_tpu.metrics.kpi import ecdf
 from isac_tpu.ops.cdl import _freq_response_jit, build_cdl_link, freq_phases, time_phases
@@ -99,8 +101,8 @@ class _CrossChannel:
         ]
         bl = stack_links(links)
         L, n_rx, n_tx, R = bl.coeff.shape
-        self._ff = jnp.asarray(freq_phases(bl.tau, dst_sim.freqs))
-        self._c2 = jnp.asarray(bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx))
+        self._ff = xfer.asarray(freq_phases(bl.tau, dst_sim.freqs))
+        self._c2 = xfer.asarray(bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx))
         self._nu = bl.nu
         self._shape = (n_rx, n_tx)
         self._sym_t = dst_sim._sym_t
@@ -128,7 +130,7 @@ class _CrossChannel:
         from isac_tpu.sim.cell import _h_slot_jit
 
         t = slot * self._slot_dur + self._sym_t
-        ft = jnp.asarray(time_phases(self._nu, t))
+        ft = xfer.asarray(time_phases(self._nu, t))
         n_rx, n_tx = self._shape
         return _h_slot_jit(ft, self._ff, self._c2, self._n_sc, n_rx, n_tx)
 
