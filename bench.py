@@ -195,32 +195,27 @@ def bench_engine(n_rb=51, nfft=1024):
     batched PHY -> feedback loops -> sensing accumulation). Frame 1 pays
     compile; frame 2 is the steady-state number.
 
-    The closed-loop engine must read CRC/CSI results back to the host; the
-    axon TPU relay implements compiled-program execution but not device->host
-    readback (verified empirically: any D2H copy raises UNIMPLEMENTED), so
-    this bench pins the CPU backend when readback is unavailable. The two
-    kernel benches above still measure the TPU data plane."""
+    The closed-loop engine must read CRC/CSI results back to the host every
+    slot; on the axon relay any unsupported op wedges the whole client
+    session (RELAY_NOTES.md). So this stage is UNKILLABLE BY DESIGN
+    (VERDICT r3 #2): ISAC_TPU_FORCE_CPU=1 pins the CPU backend, and main()
+    reruns the stage that way whenever the TPU attempt dies — every bench
+    line carries engine numbers (backend labeled) plus the captured
+    failing-op string when TPU was abandoned."""
+    import os
+
     import jax
 
     from isac_tpu.config import SimulationParameters, assign_cell_parameters
     from isac_tpu.config.scenarios import open_street_map_city
     from isac_tpu.sim.cell import CellSimulator
 
-    def readback_ok():
-        try:
-            f, b = jax.jit(lambda: (1 + jax.numpy.zeros(2), jax.numpy.zeros(2) > 0))()
-            np.asarray(f)
-            np.asarray(b)  # the closed loop reads CRC bools back every slot
-            return True
-        except Exception:
-            return False
-
     backend = jax.default_backend()
     ctx = None
-    if backend != "cpu" and not readback_ok():
+    if os.environ.get("ISAC_TPU_FORCE_CPU") == "1" and backend != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
         ctx.__enter__()
-        backend = "cpu (no TPU readback)"
+        backend = "cpu (forced: TPU attempt failed)"
     try:
         sim = open_street_map_city(SimulationParameters())
         cells = assign_cell_parameters(sim)
@@ -319,20 +314,25 @@ def _best_prior_bench(key="pdsch_info_mbps"):
     return best
 
 
-def _run_isolated(name, timeout_s):
+def _run_isolated(name, timeout_s, env_extra=None):
     """Run one bench stage in a SUBPROCESS and parse its JSON line.
 
     Mandatory on the axon relay: after any failed program the client session
     is wedged — every subsequent device op in the process fails with
     UNIMPLEMENTED (RELAY_NOTES.md). In-process sequencing made one stage's
     failure poison all later stages (including known-good ones)."""
+    import os
     import subprocess
     import sys
 
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     try:
         p = subprocess.run(
             [sys.executable, __file__, "--one", name],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
         for line in reversed(p.stdout.strip().splitlines()):
             try:
@@ -348,6 +348,10 @@ def _run_isolated(name, timeout_s):
 
 def main():
     import sys
+
+    from isac_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()  # minutes-scale relay compiles persist to disk
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         fn = {"pdsch": bench_pdsch, "sensing": bench_sensing,
@@ -375,6 +379,11 @@ def main():
         # fall back to the dominant kernel so the record is a real execution
         extra.update(_run_isolated("ldpc", 900))
     extra.update(_run_isolated("engine", 1200))
+    if "engine_slots_per_s" not in extra:
+        # unkillable engine stage (VERDICT r3 #2): keep the TPU failure
+        # string, rerun pinned to CPU so engine numbers always exist
+        extra.update(_run_isolated("engine", 1200,
+                                   env_extra={"ISAC_TPU_FORCE_CPU": "1"}))
     extra.update(_flops_estimates(extra))
     if "pdsch_info_mbps" in extra:
         metric, value = "pdsch_chain_info_rate", extra["pdsch_info_mbps"]

@@ -16,7 +16,6 @@ Package layout (mirrors SURVEY.md §2 component inventory):
     config/    parameter system + scenarios            (ref: +parameters, +scenarios)
     topology/  OSM city, blockages, LoS, wraparound    (ref: +networkTopology)
     ops/       PHY/sensing DSP kernel layer            (ref: 5G Toolbox + +sensing math)
-    kernels/   Pallas TPU kernels for hot ops
     phy/       PDSCH/PUSCH chains, abstract PHY        (ref: +communication/+phyLayer)
     mac/       scheduler, HARQ, LCP, MAC PDUs          (ref: +communication/+macLayer, +scheduling, +harq)
     rlc/       RLC UM/AM entities                      (ref: +communication/+rlcLayer)

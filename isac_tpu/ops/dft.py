@@ -4,10 +4,12 @@ Two reasons this exists (RELAY_NOTES.md):
 - TPU-idiomatic: a radix factored N = N1*N2 transform is two dense
   [N1 x N1] / [N2 x N2] matmul stages plus an elementwise twiddle — exactly
   the shape the MXU wants — instead of a serial FFT custom call.
-- The axon TPU relay rejects the XLA FFT custom call outright
-  (UNIMPLEMENTED), so every jnp.fft call site in the OFDM/RDM/SRS paths
-  routes through `fft_auto`/`ifft_auto`, which lower to these matmuls when
-  tracing for TPU and defer to jnp.fft elsewhere (bit-exact on CPU).
+- Insurance against relay FFT gaps: every jnp.fft call site in the
+  OFDM/RDM/SRS paths routes through `fft_auto`/`ifft_auto`. The r3 probe
+  matrix ultimately showed the relay's FFT custom call DOES work once the
+  complex-H2D blocker (utils/xfer.py) is out of the way, so native jnp.fft
+  is the default everywhere; set ISAC_TPU_MATMUL_DFT=1 to opt into the
+  matmul form on TPU for measurement (CPU always uses jnp.fft, bit-exact).
 
 Accuracy: complex64 two-stage keeps relative error ~1e-4..1e-3 up to
 N = 4096 — far below the simulated noise floors (tests/test_dft.py).

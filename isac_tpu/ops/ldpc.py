@@ -303,18 +303,20 @@ def decode(
     z: int,
     n_iter: int = 6,
     norm: float = 0.75,
-    early_exit: bool = True,
+    early_exit: bool = False,
 ):
     """Flooding normalized min-sum. llr [..., n_full] (positive = bit 0)
     -> (hard bits [..., K] int8, parity_ok [...] bool).
 
-    early_exit: stop as soon as EVERY codeword in the batch satisfies all
-    parity checks (a lax.while_loop bounded by n_iter; the per-iteration
-    syndrome check costs ~25% of an iteration). At high SNR this converges
-    in 3-5 iterations, so sch_decode's quality-matched 2x-iteration budget
-    costs nothing where blocks decode cleanly; a failing codeword still
-    runs the full budget (and keeps every batch lane running with it —
-    flooding work is batched, not per-lane)."""
+    early_exit (opt-in; default False keeps the base primitive deterministic
+    per-codeword — a codeword's iteration count and posterior never depend
+    on its batch-mates): stop as soon as EVERY codeword in the batch
+    satisfies all parity checks (a lax.while_loop bounded by n_iter; the
+    per-iteration syndrome check costs ~25% of an iteration). At high SNR
+    this converges in 3-5 iterations, so sch_decode's quality-matched
+    2x-iteration budget opts in and costs nothing where blocks decode
+    cleanly; a failing codeword still runs the full budget (and keeps every
+    batch lane running with it — flooding work is batched, not per-lane)."""
     code, row_edges, row_pad, edge_slot, col_onehot, fwd_idx, inv_idx, dmax = _decode_plan(bg, z)
     e_count = code.rows.shape[0]
     batch = llr.shape[:-1]

@@ -214,7 +214,8 @@ def sch_decode(
 
             hard, parity_ok = decode_layered(full, cfg.bg, cfg.z, n_iter=n_iter)
         else:
-            hard, parity_ok = ldpc.decode(full, cfg.bg, cfg.z, n_iter=n_iter)
+            hard, parity_ok = ldpc.decode(full, cfg.bg, cfg.z, n_iter=n_iter,
+                                          early_exit=True)
         hard_runs.append(hard[..., : cfg.k_prime])  # [..., cnt, K']
         ok_runs.append(parity_ok)  # [..., cnt]
         buf_runs.append(buf)

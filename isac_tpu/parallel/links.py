@@ -52,34 +52,37 @@ def stack_links(links: list[CDLLink]) -> BatchedLinks:
     )
 
 
+@partial(jax.jit, static_argnames=("n_rx", "n_tx", "sc"))
+def _h_freq_resp(ft_j, ff_j, c2_j, n_rx, n_tx, sc):
+    l, s, _ = ft_j.shape
+    k = ff_j.shape[1]
+    ph = ft_j[:, :, None, :] * ff_j[:, None, :, :]  # [L, S, K, R]
+    h = jnp.einsum("lskr,lar->lska", ph, c2_j,
+                   preferred_element_type=jnp.complex64)
+    return (h * jnp.complex64(sc)).reshape(l, s, k, n_rx, n_tx)
+
+
 def batched_frequency_response(
     bl: BatchedLinks, t_syms: np.ndarray, freqs: np.ndarray, scale: float = 1.0
 ) -> jnp.ndarray:
     """H[L, S, K, rx, tx] for all links at once — one MXU contraction over rays
     (the reference steps one nrCDLChannel object per UE per slot).
 
-    Emitted as ONE jitted program including the reshape and any amplitude
-    scale: the axon TPU relay executes compiled programs only, and an eager
-    op (even `h * 1579.0`) silently poisons every downstream buffer — the
-    error surfaces only at fetch time (see bench.py)."""
+    Emitted as ONE module-level jitted program (cache hits across calls)
+    including the reshape and any amplitude scale: the axon TPU relay executes
+    compiled programs only, and an eager op (even `h * 1579.0`) silently
+    poisons every downstream buffer — the error surfaces only at fetch time
+    (see bench.py)."""
     L, n_rx, n_tx, R = bl.coeff.shape
     tt = np.asarray(t_syms, np.float64)
     ft = np.exp(2j * np.pi * tt[None, :, None] * bl.nu[:, None, :]).astype(np.complex64)
     ff = np.exp(
         -2j * np.pi * freqs.astype(np.float64)[None, :, None] * bl.tau[:, None, :]
     ).astype(np.complex64)  # [L, K, R]
-
-    @partial(jax.jit, static_argnames=("s", "k", "sc"))
-    def _h(ft_j, ff_j, c2_j, s, k, sc):
-        ph = ft_j[:, :, None, :] * ff_j[:, None, :, :]  # [L, S, K, R]
-        h = jnp.einsum("lskr,lar->lska", ph, c2_j,
-                       preferred_element_type=jnp.complex64)
-        return (h * jnp.complex64(sc)).reshape(L, s, k, n_rx, n_tx)
-
-    return _h(
+    return _h_freq_resp(
         xfer.asarray(ft), xfer.asarray(ff),
         xfer.asarray(bl.coeff.reshape(L, n_rx * n_tx, R)),
-        len(tt), len(freqs), float(scale),
+        n_rx, n_tx, float(scale),
     )
 
 

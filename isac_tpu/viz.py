@@ -173,8 +173,10 @@ def plot_rdm(sensing: dict, path: str):
     n_r, n_c = pdb.shape
     rng_axis = (np.arange(n_r) * params.r_res,)[0]
     vel_axis = (np.arange(n_c) - n_c // 2) * params.v_res
-    # FFT layout: doppler bins are fft-shifted for display
-    pdb_disp = np.fft.fftshift(pdb, axes=1)
+    # est['rdm'] is already Doppler-centered (rdm.py range_doppler_map applies
+    # the fftshift), matching the velEst/truth axis convention (cfar.py) and
+    # the reference's centered plot (fft2D.m:160) — plot it directly.
+    pdb_disp = pdb
     fig, ax = plt.subplots(figsize=(6.5, 4.5), dpi=120)
     im = ax.imshow(
         pdb_disp, aspect="auto", origin="lower", interpolation="nearest",

@@ -22,8 +22,12 @@ We minimize a weighted count over ALL lifting sizes of the set
 4-cycles, then run a 6-cycle reduction pass at the largest lifting sizes.
 
 Output: writes isac_tpu/ops/_ldpc_ext_shifts.py with the optimized tables
-(deterministic: fixed seed, fixed sweep order) plus a summary of the cycle
-census before/after. Runtime: a couple of minutes of pure NumPy on CPU.
+plus a summary of the cycle census before/after. Runtime: a couple of
+minutes of pure NumPy on CPU. NOTE on reproducibility: optimize() seeds
+from T.build_entries(bg), which loads the COMMITTED _ldpc_ext_shifts.py —
+i.e. re-running is idempotent-from-committed-state (sweeps converge in
+place), not a from-scratch reproduction of the committed file; the original
+placeholder starting point was deleted once the optimized tables landed.
 """
 
 from __future__ import annotations
