@@ -33,9 +33,16 @@ import time
 import numpy as np
 
 
-def _fenced_scan(step_fn, xs, n_steps):
+def _fenced_scan(step_fn, xs, n_steps, consts=()):
     """Time ONE jitted lax.scan over stacked per-step inputs, fenced by an
     f32-scalar fetch that depends on every step. Returns (s/step, value).
+
+    consts: complex device arrays the step needs (channel, precoders,
+    waveforms). They MUST enter as jit ARGUMENTS, not closures: a complex
+    device array captured as a jit constant inside a scan body is the one
+    remaining relay-UNIMPLEMENTED pattern (r4 probe matrix,
+    tools/probe_relay.py closure_scan vs closure_arg_scan) — it is what
+    killed the r3 pdsch/sensing stages after the complex-H2D shim landed.
 
     First dispatch pays compile + warmup; the second is the measurement.
     Per-call dispatch/fetch RTT amortizes across n_steps."""
@@ -43,15 +50,15 @@ def _fenced_scan(step_fn, xs, n_steps):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(xs_):
+    def run(xs_, consts_):
         def body(acc, x):
-            return acc + step_fn(x), None
+            return acc + step_fn(x, *consts_), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
         return acc
 
-    v = float(np.asarray(run(xs)))  # compile + warm (forces real execution)
+    v = float(np.asarray(run(xs, consts)))  # compile + warm (real execution)
     t0 = time.perf_counter()
-    v = float(np.asarray(run(xs)))
+    v = float(np.asarray(run(xs, consts)))
     dt = time.perf_counter() - t0
     return dt / n_steps, v
 
@@ -78,13 +85,13 @@ def bench_pdsch(n_prb=273, n_links=4, mcs=19, n_layers=2, n_steps=6):
          ).astype(np.complex64)
     )
 
-    def step(x):
+    def step(x, w_, h_):
         tb_i, ns_i = x
-        out = fn(tb_i, w, h, ns_i)
+        out = fn(tb_i, w_, h_, ns_i)
         return (jnp.sum(out["sinr_db"]) + jnp.sum(out["crc_ok"].astype(jnp.float32))
                 + jnp.sum(out["tb"][..., :64].astype(jnp.float32)))
 
-    dt, _ = _fenced_scan(step, (tb_s, ns_s), n_steps)
+    dt, _ = _fenced_scan(step, (tb_s, ns_s), n_steps, consts=(w, h))
     info_bits = tbs * n_links
     n_samples = n_links * 2 * 14 * n_prb * 12  # rx REs processed
     return {
@@ -141,14 +148,14 @@ def bench_sensing(n_prb=273, num_slots=20, n_steps=6):
         np.stack([np.array([7, i], np.uint32) for i in range(n_steps)])
     )
 
-    def step(k):
-        rx_grid = mono_static_sensing(tx_wave, p, info, n_sc, num_slots, k)
-        rdm = range_doppler_map(rx_grid, tx_grid, p.n_ifft, p.n_fft)
+    def step(k, tx_wave_, tx_grid_):
+        rx_grid = mono_static_sensing(tx_wave_, p, info, n_sc, num_slots, k)
+        rdm = range_doppler_map(rx_grid, tx_grid_, p.n_ifft, p.n_fft)
         power = jnp.abs(rdm) ** 2
         det = cfar_detect_map(power, cfg)
         return det.sum().astype(jnp.float32)
 
-    dt, _ = _fenced_scan(step, keys, n_steps)
+    dt, _ = _fenced_scan(step, keys, n_steps, consts=(tx_wave, tx_grid))
     return {
         "sensing_chain_s": dt,
         "rdm_per_s": 1.0 / dt,

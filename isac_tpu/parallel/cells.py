@@ -40,6 +40,39 @@ def network_dl_step_reference(tx_grids, h_cross, gains, noise):
     )
 
 
+def network_cross_rx(mesh: Mesh, axis: str = "cell"):
+    """Production multi-cell cross-interference step (VERDICT r3 #5): ONE
+    SPMD dispatch computes every destination cell's external-interference
+    term from every co-channel source's transmit grid.
+
+    Returns jitted fn(tx_grids, h_cross, amp) ->
+        ext [C_dst, U, n_rx, 14, K]
+    with tx_grids [C, n_tx, 14, K] sharded by cell, h_cross
+    [C_dst, C_src, U, 14, K, n_rx, n_tx] and amp [C_dst, C_src, U] sharded
+    on the DESTINATION axis (self/off-channel pairs carry amp 0). Transmit
+    grids ride ONE all_gather over the `cell` axis per slot; each shard then
+    contracts only its own destination cells — per-slot cost O(cells) work,
+    O(1) dispatches, instead of the r3 host loop's O(cells^2) dispatches.
+    """
+
+    def step(tx_local, h_local, amp_local):
+        tx_all = jax.lax.all_gather(tx_local, axis, tiled=True)  # [C, ...]
+        return jnp.einsum(
+            "xtsk,dxuskat,dxu->duask", tx_all, h_local,
+            amp_local.astype(h_local.dtype),
+            preferred_element_type=jnp.complex64,
+        )
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def network_dl_step(mesh: Mesh, axis: str = "cell"):
     """shard_map'd version: destination cells sharded over `axis`; transmit
     grids all_gathered so every shard sees every co-channel transmitter.

@@ -166,6 +166,26 @@ def _rx_ul_batch_jit(grids_tuple, h_all, ue_idx, amp, key):
 
 
 @jax.jit
+def _rx_ul_batch_ext_jit(grids_tuple, h_all, ue_idx, amp, ext, key):
+    """_rx_ul_batch_jit + an external (inter-cell) UL interference term ext
+    [n_rx, 14, K] — other cells' co-channel uplinks superposed at this gNB,
+    seen identically by every grant's receiver (one physical antenna array).
+    Exceeds the reference, which models no UL interference at all
+    (networkSimulation.m parfeval isolation)."""
+    grids = jnp.stack(grids_tuple)
+    h_sel = h_all[ue_idx]
+    r = jnp.einsum("gtsk,gskat->gask", grids, h_sel,
+                   preferred_element_type=jnp.complex64)
+    r = r * amp[:, None, None, None] + ext[None]
+    kr, ki = jax.random.split(key)
+    noise = (
+        jax.random.normal(kr, r.shape, jnp.float32)
+        + 1j * jax.random.normal(ki, r.shape, jnp.float32)
+    ).astype(jnp.complex64) * np.float32(np.sqrt(0.5))
+    return r + noise
+
+
+@jax.jit
 def _srs_rx_sum_jit(grids, h_all, ue_idx, amps, key):
     """Summed co-channel SRS reception (grids [U, ants, 14, K] through each
     sounding UE's channel, superposed at the gNB) + noise, one dispatch."""
@@ -1028,8 +1048,22 @@ class CellSimulator:
                     self._csirs_measure_rx(u, rx_all, slot)
 
     def _ul_slot(self, slot: int, n_sym: int):
+        """Single-cell UL slot = tx phase then rx phase (no interference)."""
+        st = self._ul_tx_phase(slot, n_sym)
+        if st is not None:
+            self._ul_rx_phase(slot, st)
+
+    def _ul_tx_phase(self, slot: int, n_sym: int):
+        """Schedule + build every granted UE's UL port grid.
+
+        Returns {groups, all_items, all_grids} for _ul_rx_phase, or None.
+        Split (like the DL tx/rx phases) so a network driver can collect
+        every co-channel cell's UL transmissions before any gNB receives —
+        enabling inter-cell UL interference, which the reference does not
+        model at all (networkSimulation.m:44-55 parfeval isolation)."""
         if self.passthrough:
-            return self._passthrough_slot(slot, "UL", n_sym)
+            self._passthrough_slot(slot, "UL", n_sym)
+            return None
         harq = self.scheduler.harq_ul
         groups: dict = {}
         for ss, ns in self._ttis(n_sym):
@@ -1047,7 +1081,7 @@ class CellSimulator:
                 w = cb[g.tpmi % cb.shape[0]]  # host
                 groups.setdefault(sg.layout_key(), []).append((g, sg, tb, w))
         if not groups:
-            return
+            return None
         # per-grant port grids (vmapped within a layout group), then ONE
         # stacked channel+noise dispatch over all granted UEs
         all_items, all_grids = [], []
@@ -1060,6 +1094,12 @@ class CellSimulator:
                 grids = list(_ul_tx_batch(items))
             all_items.extend(items)
             all_grids.extend(grids)
+        return {"groups": groups, "all_items": all_items, "all_grids": all_grids}
+
+    def _ul_rx_phase(self, slot: int, st: dict, ext: jnp.ndarray | None = None):
+        """Receive all granted uplinks (+ optional external co-channel UL
+        interference ext [n_rx, 14, n_sc]) and decode."""
+        groups, all_items, all_grids = st["groups"], st["all_items"], st["all_grids"]
         h_all = self._h_slot(slot, "UL")
         ue_idx = np.asarray([g.ue for g, _, _, _ in all_items], np.int32)
         # UE power concentrates on the granted PRBs (P_ue / n_alloc_re)
@@ -1070,9 +1110,14 @@ class CellSimulator:
             ],
             np.float32,
         )
-        rx_all = _rx_ul_batch_jit(
-            tuple(all_grids), h_all, ue_idx, amps, self._slot_key(slot, 9)
-        )  # [n_grants, n_rx, 14, n_sc]
+        if ext is None:
+            rx_all = _rx_ul_batch_jit(
+                tuple(all_grids), h_all, ue_idx, amps, self._slot_key(slot, 9)
+            )  # [n_grants, n_rx, 14, n_sc]
+        else:
+            rx_all = _rx_ul_batch_ext_jit(
+                tuple(all_grids), h_all, ue_idx, amps, ext, self._slot_key(slot, 9)
+            )
         pos = 0
         for items in groups.values():
             gs = [g for g, _, _, _ in items]
@@ -1186,13 +1231,25 @@ class CellSimulator:
             return self.tdd.num_dl_syms
         return 0
 
+    def _ul_syms(self, info: dict) -> int:
+        """UL symbols available this slot (0 = no UL). PUSCH avoids the SRS
+        symbol when someone sounds (proportionalFair.m SRS-reserved-symbol
+        avoidance, :115-384)."""
+        if self.fdd or info["stype"] == "U":
+            return 13 if (info["sounding"] and not self.fast_csi) else 14
+        return 0
+
     def _slot_finish(self, slot: int, info: dict):
         """UL slot work + BSR + SRS — the per-slot epilogue."""
-        stype, sounding = info["stype"], info["sounding"]
-        if self.fdd or stype == "U":
-            # PUSCH avoids the SRS symbol when someone sounds this slot
-            # (proportionalFair.m SRS-reserved-symbol avoidance, :115-384)
-            self._ul_slot(slot, 13 if (sounding and not self.fast_csi) else 14)
+        n_ul = self._ul_syms(info)
+        if n_ul:
+            self._ul_slot(slot, n_ul)
+        self._slot_epilogue(slot, info)
+
+    def _slot_epilogue(self, slot: int, info: dict):
+        """BSR + SRS (after any UL rx phase — a network driver calls this
+        once cross-cell UL interference has been applied)."""
+        sounding = info["sounding"]
         if info["ul_capable"]:
             # BSR (ueMAC.m bsrTx:1102)
             for u in range(self.n_ues):

@@ -203,6 +203,109 @@ def test_sensing_est_algorithm_music_and_sharded_rdm(multi_ue_result):
     assert rmse_s["rngRMSE"] < 2 * p_ref.r_res + 3e8 / (2 * p_ref.fs)
 
 
+def test_multicell_ul_interference_degrades_cell_edge():
+    """VERDICT r3 #9 (exceeds the reference, which models NO UL interference:
+    networkSimulation.m:44-55): in the lockstep runner each gNB's uplink
+    receiver sums other cells' co-channel PUSCH through reciprocal cross
+    channels. Cell-edge UEs (placed between two gNBs 120 m apart) must show
+    degraded UL BLER vs the same run with ul_interference=False."""
+    import numpy as np
+
+    from isac_tpu.config.params import GNBParams, UEParams
+    from isac_tpu.config.scenarios import multi_cell
+    from isac_tpu.sim.network import SyncNetworkRunner
+
+    sim = multi_cell(SimulationParameters(), num_cells=2)
+    sim.bs["cell1"] = GNBParams(**{**sim.bs["cell1"].__dict__, "position": (0.0, 0.0, 30.0)})
+    sim.bs["cell2"] = GNBParams(**{**sim.bs["cell2"].__dict__, "position": (120.0, 0.0, 30.0)})
+    sim.ue["cell1"] = UEParams(num_ues=2, position_mode="predefined",
+                               positions=np.array([[55.0, 5.0, 1.5], [65.0, -5.0, 1.5]]))
+    sim.ue["cell2"] = UEParams(num_ues=2, position_mode="predefined",
+                               positions=np.array([[60.0, 8.0, 1.5], [52.0, -6.0, 1.5]]))
+    sim.validate()
+    cells = assign_cell_parameters(sim)
+    kw = dict(n_rb_override=51, nfft_override=1024, enable_sensing=False)
+    r_int = SyncNetworkRunner(cells, **kw).run()
+    r_iso = SyncNetworkRunner(cells, ul_interference=False, **kw).run()
+
+    def ul_bler(rs):
+        return np.concatenate([c["communication"]["ueULBLER"] for c in rs])
+
+    assert float(ul_bler(r_iso).mean()) < 0.05, ul_bler(r_iso)
+    assert float(ul_bler(r_int).mean()) > float(ul_bler(r_iso).mean()) + 0.05, (
+        ul_bler(r_int), ul_bler(r_iso))
+
+
+def test_mesh_cross_rx_matches_host_path():
+    """VERDICT r3 #5: with a `cell`-axis mesh the per-slot DL cross term for
+    ALL destination cells is ONE shard_map'd dispatch (single all_gather,
+    parallel/cells.py network_cross_rx). It must numerically match the
+    host-path per-destination einsum."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from isac_tpu.config.scenarios import multi_cell
+    from isac_tpu.sim.network import SyncNetworkRunner, _take_jit
+
+    sim = multi_cell(SimulationParameters(), num_cells=2)
+    sim.validate()
+    cells = assign_cell_parameters(sim)
+    kw = dict(n_rb_override=51, nfft_override=1024, enable_sensing=False)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("cell",))
+    rn = SyncNetworkRunner(cells, mesh=mesh, **kw)
+    rn._build_banks()
+    assert rn.mesh is not None, "homogeneous cells must keep the mesh path"
+    slot = 2
+    infos = [s._slot_begin(slot) for s in rn.sims]
+    states = [
+        s._dl_tx_phase(slot, s._dl_syms(info), csi_slot=info["csi_slot"])
+        for s, info in zip(rn.sims, infos)
+    ]
+    assert all(st is not None for st in states)
+    tx_tuple = tuple(st["port_grid"] for st in states)
+    present = np.ones(len(rn.sims), np.float32)
+    import jax.numpy as jnp
+
+    amp_all = rn._amp_all * jnp.asarray(present)[None, :, None]
+    ext_all = rn._net_rx(tx_tuple, rn._h_global(slot), amp_all)
+    for d in range(len(rn.sims)):
+        host = rn._dl_ext_host(d, slot, states)
+        np.testing.assert_allclose(
+            np.asarray(_take_jit(ext_all, d)), np.asarray(host),
+            rtol=3e-4, atol=3e-4,
+        )
+
+
+def test_seven_cell_wraparound_lockstep():
+    """VERDICT r3 #5 done-criterion: a 7-cell wraparound scenario runs e2e
+    with interference; per-slot cross cost is one fused dispatch per
+    destination (O(cells)), with banks built lazily at run()."""
+    import numpy as np
+
+    from isac_tpu.config.scenarios import multi_cell
+    from isac_tpu.sim.network import SyncNetworkRunner
+
+    sim = multi_cell(SimulationParameters(), num_cells=7)
+    for name in sim.ue:
+        from isac_tpu.config.params import UEParams
+
+        sim.ue[name] = UEParams(num_ues=1, seed=sim.ue[name].seed)
+    sim.validate()
+    cells = assign_cell_parameters(sim)
+    rn = SyncNetworkRunner(cells, n_rb_override=6, nfft_override=128,
+                           enable_sensing=False, ul_interference=False)
+    assert rn.banks is None  # lazy: nothing built before run()
+    res = rn.run()
+    assert len(res) == 7
+    assert len(rn.banks) == 7
+    # every bank covers all 7 sources in ONE stacked tensor; 6 active rows
+    b0 = rn.banks[0]
+    assert b0.amp.shape[0] == 7 and int(b0.active.sum()) == 6
+    thr = np.concatenate([c["communication"]["ueDLThroughputMbps"] for c in res])
+    assert thr.shape == (7,)
+
+
 def test_fixed_seed_golden_trace():
     """SURVEY §4 centerpiece (VERDICT r2 Weak #3/#8): the fixed-seed
     single-link run reproduces the committed per-slot trace — scheduling

@@ -361,7 +361,7 @@ def stage_closure_scan():
     @jax.jit
     def run(xs_):
         def body(acc, x):
-            v = jnp.sum(jnp.abs(h @ (x.astype(jnp.complex64)[:, None] * h[:, :1].T @ h)))
+            v = jnp.sum(jnp.abs(h * x.astype(jnp.complex64)[:, None]))
             return acc + v.astype(jnp.float32), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
         return acc
@@ -446,8 +446,171 @@ def stage_decode_in_scan():
     return float(np.asarray(run(llr)))
 
 
-def stage_receive_scan_noee():
-    """receive chain in scan with deterministic (no while_loop) LDPC -> fetch."""
+def stage_chanest_scan():
+    """DM-RS estimate + MMSE under scan -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from isac_tpu.ops.channel_est import estimate_channel_canonical, mmse_equalize
+    from isac_tpu.phy.chains import _dmrs_refs, _layout, dmrs_ports
+    from isac_tpu.utils import xfer
+
+    g, (tb, w, h, noise), tbs = _tiny_link()
+    lay = _layout(g.layout_key())
+    refs = xfer.asarray(_dmrs_refs(g, lay["dsyms"]))
+    ports = dmrs_ports(g.n_layers)
+    rng = np.random.default_rng(1)
+    n_steps = 2
+    n_sc_c = g.n_prb * 12
+    xs = xfer.asarray(
+        ((rng.standard_normal((n_steps, 2, 14, n_sc_c))
+          + 1j * rng.standard_normal((n_steps, 2, 14, n_sc_c)))
+         ).astype(np.complex64))
+
+    @jax.jit
+    def run(xs_):
+        def body(acc, rx_c):
+            hh, nvar = estimate_channel_canonical(
+                rx_c, refs, ports, lay["dsyms"], g.n_prb, n_basis=3, prg_prbs=2)
+            eq, sinr = mmse_equalize(rx_c, hh, nvar)
+            return acc + jnp.sum(sinr).astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs)))
+
+
+def stage_decode_chain_scan():
+    """sch_decode (rate_recover + layered Pallas + CRC) under scan -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from isac_tpu.phy.chains import _layout
+    from isac_tpu.ops import transport
+
+    g, (tb, w, h, noise), tbs = _tiny_link()
+    lay = _layout(g.layout_key())
+    cfg = lay["cfg"]
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.standard_normal((2, cfg.g)).astype(np.float32) * 4)
+
+    @jax.jit
+    def run(xs_):
+        def body(acc, llr):
+            tb_, ok, bufs = transport.sch_decode(llr, cfg, 0, None, n_iter=2)
+            return acc + jnp.sum(tb_.astype(jnp.float32)) + ok.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs)))
+
+
+def stage_chanest_only_scan():
+    """estimate_channel_canonical alone under scan -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from isac_tpu.ops.channel_est import estimate_channel_canonical
+    from isac_tpu.phy.chains import _dmrs_refs, _layout, dmrs_ports
+    from isac_tpu.utils import xfer
+
+    g, (tb, w, h, noise), tbs = _tiny_link()
+    lay = _layout(g.layout_key())
+    refs = xfer.asarray(_dmrs_refs(g, lay["dsyms"]))
+    ports = dmrs_ports(g.n_layers)
+    rng = np.random.default_rng(1)
+    n_sc_c = g.n_prb * 12
+    xs = xfer.asarray(
+        ((rng.standard_normal((2, 2, 14, n_sc_c))
+          + 1j * rng.standard_normal((2, 2, 14, n_sc_c)))
+         ).astype(np.complex64))
+
+    @jax.jit
+    def run(xs_):
+        def body(acc, rx_c):
+            hh, nvar = estimate_channel_canonical(
+                rx_c, refs, ports, lay["dsyms"], g.n_prb, n_basis=3, prg_prbs=2)
+            return acc + (jnp.sum(jnp.abs(hh)) + jnp.sum(nvar)).astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs)))
+
+
+def stage_mmse_only_scan():
+    """mmse_equalize alone under scan (random h/nvar) -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from isac_tpu.ops.channel_est import mmse_equalize
+    from isac_tpu.utils import xfer
+
+    rng = np.random.default_rng(1)
+    n_sc_c = 48
+    xs = xfer.asarray(
+        ((rng.standard_normal((2, 2, 14, n_sc_c))
+          + 1j * rng.standard_normal((2, 2, 14, n_sc_c)))
+         ).astype(np.complex64))
+    hh = xfer.asarray(
+        ((rng.standard_normal((2, 14, n_sc_c, 2, 2))
+          + 1j * rng.standard_normal((2, 14, n_sc_c, 2, 2)))
+         ).astype(np.complex64))
+
+    @jax.jit
+    def run(xs_):
+        def body(acc, rx_c):
+            eq, sinr = mmse_equalize(rx_c, hh[0], jnp.float32(0.1))
+            return acc + jnp.sum(sinr).astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs)))
+
+
+def stage_closure_arg_scan():
+    """Same as closure_scan but the complex array enters as a jit ARG -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from isac_tpu.utils import xfer
+
+    rng = np.random.default_rng(0)
+    h = xfer.asarray((rng.standard_normal((8, 16))
+                      + 1j * rng.standard_normal((8, 16))).astype(np.complex64))
+    xs = jnp.asarray(np.ones((3, 8), np.float32))
+
+    @jax.jit
+    def run(xs_, h_):
+        def body(acc, x):
+            v = jnp.sum(jnp.abs(h_ * x.astype(jnp.complex64)[:, None]))
+            return acc + v.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs, h)))
+
+
+def stage_np_const_scan():
+    """np complex constant embedded in a scan body -> fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    const = (np.arange(16) + 1j * np.arange(16)).astype(np.complex64).reshape(4, 4)
+    xs = jnp.asarray(np.ones((3, 4), np.float32))
+
+    @jax.jit
+    def run(xs_):
+        def body(acc, x):
+            v = jnp.sum(jnp.abs(jnp.asarray(const) * x.astype(jnp.complex64)[:, None]))
+            return acc + v.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs_)
+        return acc
+
+    return float(np.asarray(run(xs)))
+
+
+def stage_receive_scan_args():
+    """receive chain under scan with w/h/refs as jit ARGS -> fetch."""
     import jax
     import jax.numpy as jnp
 
@@ -463,17 +626,17 @@ def stage_receive_scan_noee():
          ).astype(np.complex64))
 
     @jax.jit
-    def run(xs):
+    def run(xs, w_, h_):
         def body(acc, ns_i):
-            grid, _ = sch_transmit(tb[0], g, w=w[0])
-            rx = jnp.einsum("tsk,skat->ask", grid, h[0],
+            grid, _ = sch_transmit(tb[0], g, w=w_[0])
+            rx = jnp.einsum("tsk,skat->ask", grid, h_[0],
                             preferred_element_type=jnp.complex64) + ns_i[0]
-            out = sch_receive(rx, g, n_ldpc_iter=2, ldpc_early_exit=False)
+            out = sch_receive(rx, g, n_ldpc_iter=2)
             return acc + jnp.sum(out["sinr_db"]), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
         return acc
 
-    return float(np.asarray(run(ns_s)))
+    return float(np.asarray(run(ns_s, w, h)))
 
 
 STAGES = [
@@ -481,7 +644,7 @@ STAGES = [
     "channel_apply", "receive", "vmap_link", "scan_link",
     "sensing_prep", "sensing_echo", "sensing_rdm", "eigh_internal",
     "int8_scan", "uint32_scan", "complex_scan", "tuple_scan",
-    "closure_scan", "receive_scan",
+    "closure_scan", "receive_scan", "while_in_scan", "decode_in_scan", "chanest_scan", "decode_chain_scan", "chanest_only_scan", "mmse_only_scan", "closure_arg_scan", "np_const_scan", "receive_scan_args",
 ]
 
 
