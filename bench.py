@@ -285,7 +285,26 @@ def _flops_estimates(extra):
             out["sensing_tflops_s_est"] = (f1 + f2) / extra["sensing_chain_s"] / 1e12
         import os
 
-        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+        if not gen:
+            # take the generation from the actual device (VERDICT r3 #10),
+            # e.g. "TPU v5 lite0" -> v5e, "TPU v5p" -> v5p, "TPU v4" -> v4
+            try:
+                import jax
+
+                kind = jax.devices()[0].device_kind.lower()
+                if "lite" in kind or "v5e" in kind:
+                    gen = "v5e"
+                elif "v5" in kind:
+                    gen = "v5p"
+                elif "v6" in kind:
+                    gen = "v6e"
+                elif "v4" in kind:
+                    gen = "v4"
+                out["tpu_device_kind"] = jax.devices()[0].device_kind
+            except Exception:
+                gen = None
+        gen = gen or "v5e"
         peak = _PEAK_FLOPS.get(gen)
         if peak and "pdsch_alg_tflops_s_est" in out:
             # min-sum is VPU/memory bound, so a low MXU-peak fraction is the

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isac_tpu.utils import xfer
 from isac_tpu.utils.sequences import gold_qpsk
 
 
@@ -151,6 +152,7 @@ def csirs_estimate_fdm(
     entry INSIDE the program (rx_grid is then [n_ues, n_rx, 14, K]) so no
     eager slice ever runs."""
     sym, sc, refs_conj = _cached_fdm_plan(slot, n_id, n_prb, n_ports, l0)
+    refs_conj = xfer.asarray(refs_conj)  # complex H2D routed around the relay
     if ue_index is None:
         return _fdm_est_jit(rx_grid, sym, sc, refs_conj)
     return _fdm_est_idx_jit(rx_grid, np.int32(ue_index), sym, sc, refs_conj)
@@ -214,6 +216,7 @@ def csirs_estimate_ports(
     if l0 != 5:
         raise NotImplementedError("jitted row-5 estimator assumes l0=5")
     base, refs = _row5_est_plan(slot, n_id, n_prb, k0, l0, prb_start)
+    refs = xfer.asarray(refs)  # complex H2D routed around the relay
     prbs = np.arange(prb_start, prb_start + n_prb)
     if ue_index is None:
         return _row5_est_jit(rx_grid, base, refs), prbs

@@ -306,8 +306,10 @@ def sch_transmit(
     seq = jnp.asarray(_scrambling_seq(grant, lay["cfg"].g))
     refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
-    w_in = jnp.zeros((1,)) if w is None else w
-    extra = jnp.zeros((1,)) if extra_grid is None else extra_grid
+    # precoders arrive as host numpy (scheduler PMI path) or device arrays;
+    # xfer routes the complex H2D around the relay limitation either way
+    w_in = jnp.zeros((1,)) if w is None else xfer.asarray(w)
+    extra = jnp.zeros((1,)) if extra_grid is None else xfer.asarray(extra_grid)
     pg = fn(tb_bits, seq, refs, prbs, jnp.int32(grant.rv), w_in, extra)
     return pg, {"tbs": lay["tbs"], "g": lay["cfg"].g, "cfg": lay["cfg"]}
 
@@ -424,7 +426,8 @@ def sch_transmit_batch(
     _, seq, refs, prbs, rv = _stack_grant_inputs(grants)
     fn = _tx_kernel_batch(key, w_kind, reduce_sum)
     tb = np.stack([np.asarray(t) for t in tb_list])
-    return fn(tb, seq, refs, prbs, rv, np.stack([np.asarray(w) for w in w_list]))
+    return fn(tb, seq, xfer.asarray(refs), prbs, rv,
+              xfer.asarray(np.stack([np.asarray(w) for w in w_list])))
 
 
 def grant_soft_buffer_shape(grant: SCHGrant) -> tuple:
@@ -459,7 +462,7 @@ def sch_receive_batch(
     zeros = np.zeros(grant_soft_buffer_shape(grants[0]), np.float32)
     bufs = tuple(b if b is not None else zeros for b in soft_buffers_list)
     fn = _rx_kernel_batch(key, n_ldpc_iter, isinstance(rx_all, tuple))
-    out = fn(rx_all, idx, seq, refs, prbs, rv, bufs)
+    out = fn(rx_all, idx, seq, xfer.asarray(refs), prbs, rv, bufs)
     out["tbs"] = lay["tbs"]
     return out
 

@@ -1,0 +1,139 @@
+"""Waveform-domain reception path (VERDICT r3 #8; closes coverage rows
+#16/#23's dead-code status).
+
+Parity surface: +communication/+phyLayer/phyRxBuffer.m:137-228 (arbitrary
+time-overlapping waveform summation with resampling at the receive buffer)
+and gNBPhy.m:916-920 (nrTimingEstimate + skipWeakTimingOffset before OFDM
+demodulation).
+
+TPU-native redesign: the engine's default model stays frequency-domain per
+symbol (per-RE channel application — one einsum instead of per-sample
+convolution; the FD/TD equivalence for within-CP delays is OFDM's defining
+property and is pinned by tests/test_phy_chains.py::test_waveform_*). This
+module provides the explicit waveform path for the cases where time
+structure MATTERS — unknown timing offsets, overlapping asynchronous
+transmissions, sample-rate mismatch:
+
+- `overlap_add`: scatter-sum of waveforms at arbitrary sample offsets into
+  one receive buffer (phyRxBuffer.m:224-225 generalized to any count).
+- `resample_linear`: sample-rate conversion by linear interpolation
+  (phyRxBuffer.m:137-168 resamples each stored waveform to the receiver
+  rate; linear interp is the TPU-friendly gather formulation — a windowed
+  sinc would be a small conv if ever needed).
+- `waveform_receive`: timing estimate (correlation + the 5.5x weak-peak
+  skip rule, ops/channel_est.py:timing_estimate) -> aligned slice -> OFDM
+  demodulate -> the standard canonical-grid receiver. ONE compiled program
+  including the data-dependent alignment (lax.dynamic_slice on the traced
+  offset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isac_tpu.config.carrier import OFDMInfo
+from isac_tpu.ops.channel_est import timing_estimate
+from isac_tpu.ops.ofdm import ofdm_demodulate, ofdm_modulate
+from isac_tpu.phy.chains import SCHGrant, sch_receive
+
+
+@partial(jax.jit, static_argnames=("n_total",))
+def _overlap_add_jit(waves, offsets, n_total):
+    buf = jnp.zeros((waves[0].shape[0], n_total), jnp.complex64)
+    for w, off in zip(waves, offsets):
+        n = w.shape[-1]
+        pad = jnp.zeros((w.shape[0], n_total - n), jnp.complex64)
+        ext = jnp.concatenate([w, pad], axis=-1)
+        buf = buf + jnp.roll(ext, off, axis=-1)
+    return buf
+
+
+def overlap_add(waveforms: list, offsets, n_total: int) -> jnp.ndarray:
+    """Sum waveforms [n_rx, n_i] at sample offsets into a buffer of n_total
+    samples (phyRxBuffer.m:224-225: `sum(packetsOfInterest)` after aligning
+    each stored packet into the buffer window). Offsets are traced values —
+    one compiled program serves every slot. Samples shifted past the buffer
+    end wrap (jnp.roll); callers size n_total past the last packet end, as
+    the reference's buffer window does."""
+    offs = tuple(jnp.asarray(o, jnp.int32) for o in offsets)
+    return _overlap_add_jit(tuple(waveforms), offs, n_total)
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def _resample_jit(wave, ratio, n_out):
+    pos = jnp.arange(n_out, dtype=jnp.float32) * ratio
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, wave.shape[-1] - 2)
+    frac = (pos - i0.astype(jnp.float32)).astype(wave.real.dtype)
+    a = wave[..., i0]
+    b = wave[..., i0 + 1]
+    return a + (b - a) * frac.astype(wave.dtype)
+
+
+def resample_linear(wave: jnp.ndarray, in_rate: float, out_rate: float) -> jnp.ndarray:
+    """Rate-convert [..., N] from in_rate to out_rate by linear interpolation
+    (phyRxBuffer.m:137-168 `resample(...)` analogue)."""
+    n_out = int(round(wave.shape[-1] * out_rate / in_rate))
+    return _resample_jit(wave, np.float32(in_rate / out_rate), n_out)
+
+
+def waveform_receive(
+    rx_wave: jnp.ndarray,  # [n_rx, n_samples] (>= slot_samples + max_offset)
+    grant: SCHGrant,
+    info: OFDMInfo,
+    ref_wave: jnp.ndarray,  # DM-RS-bearing reference waveform [n_ref]
+    max_offset: int,
+    n_ldpc_iter: int = 6,
+    threshold: float = 5.5,
+    soft_buffers=None,
+):
+    """Timing-estimate + align + demodulate + decode (gNBPhy.m:916-935).
+
+    Returns sch_receive's dict plus `timing_offset` (the estimated sample
+    offset; 0 when the correlation peak fails the 5.5x skip-weak rule)."""
+    n_slot_samples = info.slot_samples(0)
+
+    @jax.jit
+    def align_demod(wave, ref):
+        off = timing_estimate(wave, ref, max_offset, threshold=threshold)
+        aligned = jax.lax.dynamic_slice_in_dim(
+            wave, off, n_slot_samples, axis=-1
+        )
+        grid = ofdm_demodulate(aligned, info, grant.n_sc_grid, 1)
+        return grid, off
+
+    grid, off = align_demod(rx_wave, ref_wave)
+    out = sch_receive(grid, grant, soft_buffers=soft_buffers,
+                      n_ldpc_iter=n_ldpc_iter)
+    out["timing_offset"] = off
+    return out
+
+
+def reference_waveform(grant: SCHGrant, info: OFDMInfo) -> jnp.ndarray:
+    """Build the correlation reference: the grant's DM-RS-ONLY slot waveform
+    (nrTimingEstimate correlates against a refGrid holding just the known
+    DM-RS — payload REs stay empty, which keeps the correlation floor low
+    enough for the 5.5x skip-weak rule to accept true peaks)."""
+    from isac_tpu.phy.chains import (
+        _dmrs_port_grid, _dmrs_refs, _layout, dmrs_ports)
+    from isac_tpu.utils import xfer
+
+    lay = _layout(grant.layout_key())
+    refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
+    ports = dmrs_ports(grant.n_layers)
+    n_sc_c = lay["n_sc_c"]
+    dsyms = lay["dsyms"]
+    sc_full = (12 * np.asarray(grant.prbs, np.int64)[:, None]
+               + np.arange(12)[None, :]).reshape(-1)
+
+    @jax.jit
+    def build(refs_):
+        lg = _dmrs_port_grid(refs_, ports, n_sc_c, dsyms)  # [P, 14, n_sc_c]
+        full = jnp.zeros((lg.shape[0], 14, grant.n_sc_grid), jnp.complex64)
+        full = full.at[:, :, jnp.asarray(sc_full)].set(lg)
+        return jnp.sum(ofdm_modulate(full, info), axis=0)  # sum ports -> [N]
+
+    return build(refs)

@@ -112,6 +112,19 @@ def _sen_slice_jit(port_grid, amp, n_sym):
     return port_grid[:, :n_sym, :] * amp
 
 
+@_partial(jax.jit, static_argnames=("sym",))
+def _meas_noise_jit(h_all, ue, sc, amp, key, sym):
+    """fast_csi truth-channel sampling + estimation noise in ONE program
+    (the former eager slice/mul/add chain poisons buffers on the relay)."""
+    h = h_all[ue, sym][sc] * amp
+    kr, ki = jax.random.split(key)
+    noise = (
+        jax.random.normal(kr, h.shape, jnp.float32)
+        + 1j * jax.random.normal(ki, h.shape, jnp.float32)
+    ).astype(jnp.complex64) * np.float32(np.sqrt(0.5))
+    return h + noise
+
+
 @jax.jit
 def _rx_all_dl_jit(port_grid, h_all, amp, key):
     """Every UE's received grid in one fused dispatch.
@@ -715,8 +728,10 @@ class CellSimulator:
         noise at the per-RE SNR (the r1 bootstrap shortcut, kept behind the
         fast_csi flag)."""
         sc = np.arange(self.n_rb) * 12 + 6
-        h = self._h_slot(slot, "DL")[ue, 2, jnp.asarray(sc)] * self.amp_dl[ue]
-        h_meas = h + self._noise(h.shape, self._slot_key(slot, 1000 + ue))
+        h_meas = _meas_noise_jit(
+            self._h_slot(slot, "DL"), ue, jnp.asarray(sc),
+            np.float32(self.amp_dl[ue]), self._slot_key(slot, 1000 + ue), 2,
+        )
         self._queue_csi(ue, slot, h_meas)
 
     def _csirs_measure_rx(self, ue: int, rx_all: jnp.ndarray, slot: int):
@@ -747,12 +762,13 @@ class CellSimulator:
     def _srs_measure(self, ue: int, slot: int):
         """fast_csi path: truth + noise at sampled SRS REs."""
         sc = np.arange(0, self.n_sc, 12)  # sampled comb positions (1 per PRB)
-        h = self._h_slot(slot, "UL")[ue, 13, jnp.asarray(sc)]
         amp = np.sqrt(self.p_ul_w / (self.n_sc / 4.0) * self._g_ul_over_n[ue]).astype(
             np.float32
         )
-        h = h * amp  # [K, n_rx=gnb, n_tx=ue]
-        h_meas = h + self._noise(h.shape, self._slot_key(slot, 2000 + ue))
+        h_meas = _meas_noise_jit(  # [K, n_rx=gnb, n_tx=ue]
+            self._h_slot(slot, "UL"), ue, jnp.asarray(sc), amp,
+            self._slot_key(slot, 2000 + ue), 13,
+        )
         self._srs_csi_update(ue, slot, h_meas)
 
     def _srs_slot(self, slot: int, ues: list):
@@ -769,7 +785,7 @@ class CellSimulator:
             grids.append(g)
             amps.append(np.sqrt(self.p_ul_w / (self.n_sc / 4.0) * self._g_ul_over_n[u]))
         rx = _srs_rx_sum_jit(
-            np.stack(grids), self._h_slot(slot, "UL"),
+            xfer.asarray(np.stack(grids)), self._h_slot(slot, "UL"),
             np.asarray(ues, np.int32), np.asarray(amps, np.float32),
             self._slot_key(slot, 2500),
         )
@@ -972,12 +988,12 @@ class CellSimulator:
                     g0, slot % self.carrier.slots_per_frame,
                     self.cell.gnb.cell_id, self.n_rb, row=5,
                 )
-                csirs = g0
+                csirs = xfer.asarray(g0)  # host numpy complex -> relay-safe
             else:
-                csirs = csirs_fill_fdm(
+                csirs = xfer.asarray(csirs_fill_fdm(
                     slot % self.carrier.slots_per_frame, self.cell.gnb.cell_id,
                     self.n_rb, self.n_tx, self.n_sc,
-                )
+                ))
             port_grid = csirs if port_grid is None else _add_jit(port_grid, csirs)
 
         if port_grid is None:

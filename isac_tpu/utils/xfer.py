@@ -31,7 +31,14 @@ def _tpu_target() -> bool:
 
 
 def asarray(x, dtype=None) -> jnp.ndarray:
-    """jnp.asarray with the complex-H2D relay workaround (TPU targets only)."""
+    """jnp.asarray with the complex-H2D relay workaround (TPU targets only).
+
+    jax Arrays pass straight through (no device->host round trip), so call
+    sites can wrap values that are sometimes host numpy, sometimes already
+    on device (e.g. precoders from the host scheduler vs a device CSI path).
+    """
+    if isinstance(x, jax.Array) and dtype is None:
+        return x
     a = np.asarray(x)
     if dtype is not None:
         a = a.astype(dtype)

@@ -146,3 +146,104 @@ def test_sinr_to_cqi_table_edges():
     got = np.asarray(sinr_to_cqi(jnp.asarray([-10.0, -3.46, 1.54, 35.43, 40.0])))
     assert got.tolist() == [0, 1, 2, 15, 15]
     assert SINR_TO_CQI_DL.shape == (15,)
+
+
+# ---------------------------------------------------------- waveform-domain rx
+
+
+def _wave_setup(n_prb=8, mcs=8):
+    from isac_tpu.config.carrier import CarrierConfig
+    from isac_tpu.phy.chains import grant_tbs, sch_transmit
+
+    carrier = CarrierConfig(fc_hz=3.5e9, bandwidth_hz=10e6, scs_khz=30,
+                            n_cell_id=1, n_rb_override=n_prb,
+                            nfft_override=256)
+    info = carrier.ofdm
+    g = SCHGrant(n_prb=n_prb, n_sc_grid=n_prb * 12, mcs=mcs, n_layers=1)
+    rng = np.random.default_rng(5)
+    tb = jnp.asarray(rng.integers(0, 2, grant_tbs(g)).astype(np.int8))
+    pg, _ = sch_transmit(tb, g)  # 1 layer, identity precoder -> 1 port
+    return carrier, info, g, tb, pg
+
+
+def test_waveform_rx_timing_recovery_and_decode():
+    """VERDICT r3 #8 (gNBPhy.m:916-935): an unknown integer sample delay is
+    recovered by the correlation timing estimate and the aligned waveform
+    decodes clean — the full waveform path phyRxBuffer->nrTimingEstimate->
+    OFDM demod->receiver, exercised end-to-end."""
+    from isac_tpu.ops.ofdm import ofdm_modulate
+    from isac_tpu.phy.waveform_rx import (
+        overlap_add, reference_waveform, waveform_receive)
+
+    carrier, info, g, tb, pg = _wave_setup()
+    wave = ofdm_modulate(pg, info)  # [1, N]
+    delay = 37
+    n_total = wave.shape[-1] + 128
+    rng = np.random.default_rng(9)
+    noise = jnp.asarray(
+        ((rng.standard_normal((1, n_total)) + 1j * rng.standard_normal((1, n_total)))
+         * 1e-3).astype(np.complex64))
+    rx = overlap_add([wave], [delay], n_total) + noise
+    ref = reference_waveform(g, info)
+    out = waveform_receive(rx, g, info, ref, max_offset=128)
+    assert int(out["timing_offset"]) == delay
+    assert bool(out["crc_ok"])
+    assert np.array_equal(np.asarray(out["tb"]), np.asarray(tb))
+
+
+def test_waveform_rx_skip_weak_timing():
+    """skipWeakTimingOffset.m: a correlation peak below 5.5x the mean is
+    rejected -> offset 0 (noise-only buffer)."""
+    from isac_tpu.phy.waveform_rx import reference_waveform, waveform_receive
+
+    carrier, info, g, tb, pg = _wave_setup()
+    rng = np.random.default_rng(3)
+    n_total = info.slot_samples(0) + 128
+    rx = jnp.asarray(
+        ((rng.standard_normal((1, n_total)) + 1j * rng.standard_normal((1, n_total)))
+         * 0.1).astype(np.complex64))
+    ref = reference_waveform(g, info)
+    out = waveform_receive(rx, g, info, ref, max_offset=128)
+    assert int(out["timing_offset"]) == 0
+
+
+def test_waveform_fd_equivalence_no_offset():
+    """The engine's frequency-domain per-symbol model equals the waveform
+    round trip when no timing offset/overlap exists (the documented FD
+    deviation promoted to a tested invariant — VERDICT r3 #8 option B)."""
+    import jax
+
+    from isac_tpu.ops.ofdm import ofdm_demodulate, ofdm_modulate
+    from isac_tpu.phy.chains import sch_receive
+
+    carrier, info, g, tb, pg = _wave_setup()
+
+    @jax.jit
+    def roundtrip(p):
+        return ofdm_demodulate(ofdm_modulate(p, info), info, g.n_sc_grid, 1)
+
+    grid_td = roundtrip(pg)
+    np.testing.assert_allclose(np.asarray(grid_td), np.asarray(pg),
+                               rtol=2e-3, atol=2e-3)
+    out_fd = sch_receive(jnp.asarray(pg), g, n_ldpc_iter=4)
+    out_td = sch_receive(grid_td, g, n_ldpc_iter=4)
+    assert bool(out_fd["crc_ok"]) and bool(out_td["crc_ok"])
+
+
+def test_overlap_add_and_resample():
+    """phyRxBuffer.m:137-228 primitives: overlapping packets sum sample-wise
+    at their offsets; resampling preserves a bandlimited tone."""
+    from isac_tpu.phy.waveform_rx import overlap_add, resample_linear
+
+    a = jnp.ones((1, 16), jnp.complex64)
+    b = jnp.ones((1, 8), jnp.complex64) * 2
+    buf = np.asarray(overlap_add([a, b], [0, 8], 32))
+    assert np.allclose(buf[0, :8], 1) and np.allclose(buf[0, 8:16], 3)
+    assert np.allclose(buf[0, 16:24], 0)
+    t = np.arange(64) / 64.0
+    tone = np.exp(2j * np.pi * 3 * t).astype(np.complex64)
+    up = np.asarray(resample_linear(jnp.asarray(tone), 1.0, 2.0))
+    assert up.shape[-1] == 128
+    t2 = np.arange(128) / 128.0
+    np.testing.assert_allclose(up[4:-4], np.exp(2j * np.pi * 3 * t2)[4:-4],
+                               atol=0.05)

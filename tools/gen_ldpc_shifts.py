@@ -133,7 +133,14 @@ def _census(shifts, cycles, signs, zs):
     return {z: int(np.count_nonzero(delta % z == 0)) for z in zs}
 
 
-def optimize(bg: int, ils: int, n_sweeps=8, seed=0):
+def optimize(bg: int, ils: int, n_sweeps=8, seed=0, rand_init=False):
+    """Girth-optimize the free (extension-row) shifts.
+
+    rand_init=True starts the free shifts from a uniform-random draw instead
+    of the committed table — used by tools/ldpc_lifting_sweep.py to produce
+    INDEPENDENT girth-optimized liftings of the same protograph, so the
+    'shift choice does not move the waterfall' claim can be bounded
+    empirically (VERDICT r3 #6) rather than asserted."""
     cols_table, kc = _protograph(bg)
     pos, rows_f, cols_f = _entry_index(cols_table)
     n_e = len(rows_f)
@@ -155,10 +162,12 @@ def optimize(bg: int, ils: int, n_sweeps=8, seed=0):
     quads = _enumerate_4cycles(cols_table, pos)
     six = _enumerate_6cycles(cols_table, pos)
 
+    rng = np.random.default_rng(seed + bg * 100 + ils)
+    if rand_init:
+        shifts[free] = rng.integers(0, zmax, int(free.sum()))
+
     before4 = _census(shifts, quads, SIGNS4, zs)
     before6 = _census(shifts, six, SIGNS6, zs[-2:])
-
-    rng = np.random.default_rng(seed + bg * 100 + ils)
 
     # per-variable incidence lists
     def incidence(cycles, signs):

@@ -639,12 +639,42 @@ def stage_receive_scan_args():
     return float(np.asarray(run(ns_s, w, h)))
 
 
+def _d2h(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda: (jnp.arange(8, dtype=jnp.float32),
+                         jnp.arange(8).astype(dtype)))
+    a, b = f()
+    np.asarray(a)
+    return float(np.asarray(b).astype(np.float64).sum())
+
+
+def stage_d2h_bool():
+    """bool device->host fetch."""
+    import jax.numpy as jnp
+
+    return _d2h(jnp.bool_)
+
+
+def stage_d2h_int8():
+    import jax.numpy as jnp
+
+    return _d2h(jnp.int8)
+
+
+def stage_d2h_int32():
+    import jax.numpy as jnp
+
+    return _d2h(jnp.int32)
+
+
 STAGES = [
     "xfer_roundtrip", "freq_response", "example_inputs", "transmit",
     "channel_apply", "receive", "vmap_link", "scan_link",
     "sensing_prep", "sensing_echo", "sensing_rdm", "eigh_internal",
     "int8_scan", "uint32_scan", "complex_scan", "tuple_scan",
-    "closure_scan", "receive_scan", "while_in_scan", "decode_in_scan", "chanest_scan", "decode_chain_scan", "chanest_only_scan", "mmse_only_scan", "closure_arg_scan", "np_const_scan", "receive_scan_args",
+    "closure_scan", "receive_scan", "while_in_scan", "decode_in_scan", "chanest_scan", "decode_chain_scan", "chanest_only_scan", "mmse_only_scan", "closure_arg_scan", "np_const_scan", "receive_scan_args", "d2h_bool", "d2h_int8", "d2h_int32",
 ]
 
 
