@@ -31,7 +31,12 @@ PROVENANCE (read before relying on bit-exactness):
   6-cycles 5-30x vs random shifts — the same property the 3GPP values were
   selected for. QC-LDPC waterfall performance is governed by the protograph
   (exact here); shift choices move only girth/error-floor behavior, so the
-  approximation is small — but it is an approximation.
+  approximation is small — but it is an approximation. EMPIRICAL BOUND
+  (r4): tools/ldpc_lifting_sweep.py compares the committed lifting against
+  two independent random-restart girth-optimized liftings (BG1, Z=64,
+  480 codewords/point): BLER-0.1 waterfall crossings coincide within
+  0.034 dB (tests/golden/ldpc_lifting_sweep.json, gated < 0.2 dB by
+  tests/test_ldpc.py::test_lifting_robustness_sweep_committed).
 - BIT-EXACT DROP-IN: set env `ISAC_TPU_LDPC_TABLES=/path/to/tables.json`
   to load externally supplied shift tables (e.g. transcribed from the
   published spec). Schema: {"bg1": [[row, col, [s0..s7]], ...], "bg2":

@@ -41,7 +41,7 @@ sys.path.insert(0, str(REPO))
 BG = 1
 Z = 64  # iLS 0 (a=2): small enough to sweep fast, large enough to be typical
 N_ALT = 2
-SNRS_DB = [-3.4, -3.2, -3.0, -2.8, -2.6, -2.4, -2.2, -2.0]  # Es/N0, real BPSK, rate 1/3
+SNRS_DB = [-1.0, -0.8, -0.6, -0.4, -0.2, 0.0, 0.2]  # Es/N0, real BPSK, rate 1/3
 N_CW = 480  # codewords per SNR point
 N_ITER = 12  # flooding budget (layered-equivalent BLER)
 GOLDEN = REPO / "tests" / "golden"
