@@ -32,6 +32,15 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     d = cache_dir or env or _DEFAULT_DIR
     import jax
 
+    # TPU-only: XLA:CPU persists AOT code keyed WITHOUT host CPU features,
+    # so a cache written on one machine can SIGILL on another (observed:
+    # avx512 feature-set mismatch warnings when reloading). The minutes-scale
+    # compiles this cache exists for are all relay/TPU programs anyway.
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     # cache everything, including fast-compiling programs: relay RTT and

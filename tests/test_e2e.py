@@ -31,8 +31,10 @@ def multi_ue_result():
 
 def test_single_link_bler(single_link_result):
     comm = single_link_result["communication"]
-    assert comm["ueDLBLER"][0] < 0.2, comm["ueDLBLER"]
-    assert comm["ueULBLER"][0] < 0.2, comm["ueULBLER"]
+    # r4 (VERDICT r3 #10): tightened from 0.2 — the closed loop holds the
+    # OLLA design point (measured 0.0 in-frame); 0.1 is the design target
+    assert comm["ueDLBLER"][0] < 0.1, comm["ueDLBLER"]
+    assert comm["ueULBLER"][0] < 0.1, comm["ueULBLER"]
 
 
 def test_single_link_throughput(single_link_result):
@@ -49,11 +51,11 @@ def test_multi_ue_bler_and_fairness(multi_ue_result):
     # every UE is served (r1: one UE starved at 0 throughput)
     assert np.all(comm["ueDLThroughputMbps"] > 1.0), comm["ueDLThroughputMbps"]
     assert np.all(comm["ueULThroughputMbps"] > 0.2), comm["ueULThroughputMbps"]
-    # aggregate BLER at the OLLA design point (single-frame runs include the
-    # initial convergence transient, hence 0.25 rather than 0.1)
+    # aggregate BLER at the OLLA design point (r4: tightened from 0.25 to
+    # 0.15 — measured 0.0 with margin for the convergence transient)
     dl = comm["ueDLBLER"]
-    assert float(np.mean(dl)) < 0.25, dl
-    assert float(np.mean(comm["ueULBLER"])) < 0.25, comm["ueULBLER"]
+    assert float(np.mean(dl)) < 0.15, dl
+    assert float(np.mean(comm["ueULBLER"])) < 0.15, comm["ueULBLER"]
 
 
 def test_multi_ue_sensing_rmse(multi_ue_result):

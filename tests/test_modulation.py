@@ -71,3 +71,31 @@ def test_scrambling_roundtrip():
     llr = demodulate_llr(sym, 0.1, "QPSK")
     llr_descr = descramble_llr(llr, c)
     np.testing.assert_array_equal(np.asarray(hard_decision(llr_descr)), np.asarray(bits))
+
+
+def test_closed_form_matches_table_all_mods():
+    """r4 perf rewrite: arithmetic Gray mapping and per-axis max-log demod
+    must be numerically identical to the table-lookup / joint-distance
+    formulations (the per-axis min split is exact for square Gray QAM)."""
+    rng = np.random.default_rng(11)
+    for mod, qm in MODULATION_ORDERS.items():
+        bits = rng.integers(0, 2, 16 * 3 * qm).astype(np.int8)
+        sym = np.asarray(modulate(jnp.asarray(bits), mod))
+        # table reference
+        idx = np.sum(bits.reshape(-1, qm) * (1 << (qm - 1 - np.arange(qm))), -1)
+        ref = constellation(mod)[idx].astype(np.complex64)
+        np.testing.assert_allclose(sym, ref, rtol=1e-6, atol=1e-6)
+        # demod: joint-distance numpy reference
+        rx = (ref + 0.1 * (rng.standard_normal(ref.shape)
+                           + 1j * rng.standard_normal(ref.shape))).astype(np.complex64)
+        nv = 0.02
+        got = np.asarray(demodulate_llr(jnp.asarray(rx), nv, mod))
+        pts = constellation(mod)
+        labels = ((np.arange(1 << qm)[:, None] >> (qm - 1 - np.arange(qm))) & 1)
+        d2 = np.abs(rx[:, None] - pts[None, :]) ** 2
+        want = np.empty((rx.shape[0], qm), np.float32)
+        for b in range(qm):
+            d0 = np.min(np.where(labels[:, b] == 1, 1e30, d2), -1)
+            d1 = np.min(np.where(labels[:, b] == 1, d2, 1e30), -1)
+            want[:, b] = (d1 - d0) / nv
+        np.testing.assert_allclose(got, want.reshape(-1), rtol=2e-4, atol=2e-4)
