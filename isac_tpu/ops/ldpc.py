@@ -461,15 +461,44 @@ def rate_match_indices_all_rv(bg: int, z: int, e_bits: int, n_filler: int, k: in
     )
 
 
+@lru_cache(maxsize=256)
+def _rv_k0_virtual(bg: int, z: int, n_filler: int, k: int) -> np.ndarray:
+    """Per-RV circular-buffer start in VIRTUAL (filler-removed) coordinates.
+
+    §5.4.2.1's bit selection walks the buffer circularly skipping fillers —
+    i.e. it is a plain circular walk over the n_cb - F non-filler positions,
+    starting at k0 minus the fillers below it (a k0 inside the filler block
+    maps to the first position after it)."""
+    code_n = (66 if bg == 1 else 50) * z
+    f_start = k - n_filler - 2 * z
+    out = []
+    for rv in range(4):
+        k0 = rv_start(bg, rv, code_n, z)
+        out.append(k0 - min(max(k0 - f_start, 0), n_filler))
+    return np.asarray(out, np.int32)
+
+
 def rate_match(codeword: jnp.ndarray, bg: int, z: int, e_bits: int, rv,
                n_filler: int, k: int, qm: int) -> jnp.ndarray:
     """Full codeword [..., n_full] -> transmitted bits [..., E]. rv may be a
-    traced int32 scalar."""
+    traced int32 scalar.
+
+    r4 TPU formulation: the circular-buffer selection is a roll + tile +
+    slice and the §5.4.2.2 interleaver is a [Qm, E/Qm] transpose — no
+    gathers (the [4, E]-table gather was a multi-ms op at 273-PRB scale)."""
+    lead = codeword.shape[:-1]
     buf = codeword[..., 2 * z :]  # puncture first 2Z systematic bits
-    sel = jnp.asarray(rate_match_indices_all_rv(bg, z, e_bits, n_filler, k))[rv]
-    e = buf[..., sel]
-    perm = interleave_indices(e_bits, qm)
-    return e[..., jnp.asarray(perm)]
+    f_start, f_end = k - n_filler - 2 * z, k - 2 * z
+    if n_filler > 0:
+        vbuf = jnp.concatenate([buf[..., :f_start], buf[..., f_end:]], axis=-1)
+    else:
+        vbuf = buf
+    n_v = vbuf.shape[-1]
+    k0v = jnp.asarray(_rv_k0_virtual(bg, z, n_filler, k))[rv]
+    r = jnp.roll(vbuf, -k0v, axis=-1)
+    reps = int(np.ceil(e_bits / n_v))
+    e = jnp.concatenate([r] * reps, axis=-1)[..., :e_bits] if reps > 1 else r[..., :e_bits]
+    return e.reshape(*lead, qm, e_bits // qm).swapaxes(-1, -2).reshape(*lead, e_bits)
 
 
 def rate_recover(
@@ -478,18 +507,40 @@ def rate_recover(
 ) -> jnp.ndarray:
     """Received LLRs [..., E] -> full-codeword LLRs [..., n_full], combining
     into soft_buffer (HARQ) when provided. Punctured bits get LLR 0, fillers
-    a large bit-0 LLR. rv may be a traced int32 scalar."""
+    a large bit-0 LLR. rv may be a traced int32 scalar.
+
+    Same roll/reshape formulation as rate_match: de-interleave is the
+    inverse transpose, the circular scatter-ADD is a fold-sum over n_v
+    chunks + one roll, and fillers are a masked overwrite — no scatters."""
     e_bits = llr_e.shape[-1]
-    perm = interleave_indices(e_bits, qm)
-    deint = jnp.zeros_like(llr_e).at[..., jnp.asarray(perm)].set(llr_e)
+    lead = llr_e.shape[:-1]
+    deint = (llr_e.reshape(*lead, e_bits // qm, qm)
+             .swapaxes(-1, -2).reshape(*lead, e_bits))
     code_n = (66 if bg == 1 else 50) * z
-    sel = jnp.asarray(rate_match_indices_all_rv(bg, z, e_bits, n_filler, k))[rv]
-    buf = jnp.zeros((*llr_e.shape[:-1], code_n), llr_e.dtype)
-    buf = buf.at[..., sel].add(deint)
-    if soft_buffer is not None:
-        buf = buf + soft_buffer
+    n_v = code_n - n_filler
+    pad = (-e_bits) % n_v
+    if pad:
+        deint = jnp.concatenate(
+            [deint, jnp.zeros((*lead, pad), deint.dtype)], axis=-1
+        )
+    folded = deint.reshape(*lead, -1, n_v).sum(axis=-2)
+    k0v = jnp.asarray(_rv_k0_virtual(bg, z, n_filler, k))[rv]
+    vbuf = jnp.roll(folded, k0v, axis=-1)
     f_start, f_end = k - n_filler - 2 * z, k - 2 * z
     if n_filler > 0:
-        buf = buf.at[..., f_start:f_end].set(filler_llr)
-    punct = jnp.zeros((*llr_e.shape[:-1], 2 * z), llr_e.dtype)
+        buf = jnp.concatenate(
+            [vbuf[..., :f_start],
+             jnp.zeros((*lead, n_filler), vbuf.dtype),
+             vbuf[..., f_start:]],
+            axis=-1,
+        )
+    else:
+        buf = vbuf
+    if soft_buffer is not None:
+        buf = buf + soft_buffer
+    if n_filler > 0:
+        mask = np.zeros(code_n, np.float32)
+        mask[f_start:f_end] = 1.0
+        buf = buf * (1.0 - mask) + mask * filler_llr
+    punct = jnp.zeros((*lead, 2 * z), llr_e.dtype)
     return jnp.concatenate([punct, buf], axis=-1), buf

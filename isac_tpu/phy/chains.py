@@ -149,6 +149,12 @@ def _layout(key: tuple):
         alloc[sym, off::12] = False
     sym_idx, sc_idx = np.nonzero(alloc)
     n_re = sym_idx.shape[0]
+    # static layout class: data symbols fully occupied (no reserved REs) —
+    # the dominant case. The transmit grid then builds by RESHAPE + row
+    # stacking instead of an 80k-RE scatter (r4 TPU profile: the data-RE
+    # scatter was ~5 ms of the 25 ms 273-PRB slot).
+    data_syms = tuple(int(s) for s in np.unique(sym_idx))
+    full_rows = bool(np.all(alloc.sum(axis=1)[list(data_syms)] == n_sc_c))
     mod, rate, _ = mcs_info(mcs, mcs_table)
     tbs = transport.nr_tbs(mod, n_layers, n_prb, n_re // n_prb, rate)
     g = n_re * MODULATION_ORDERS[mod] * n_layers
@@ -161,6 +167,8 @@ def _layout(key: tuple):
         "tbs": tbs,
         "cfg": cfg,
         "n_sc_c": n_sc_c,
+        "data_syms": data_syms,
+        "full_rows": full_rows,
     }
 
 
@@ -238,24 +246,43 @@ def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
     mod = mcs_info(mcs, mcs_table)[0]
     ports = dmrs_ports(n_layers)
 
+    data_syms, full_rows = lay["data_syms"], lay["full_rows"]
+    dsym_set = set(dsyms)
+
     def fn(tb_bits, seq, refs, prbs, rv, w, extra):
         coded = transport.sch_encode(tb_bits, cfg, rv)
         scr = scramble_bits(coded, seq)
         d = modulate(scr, mod)
         x = layer_map(d, n_layers)  # [L, n_re]
-        lg = jnp.zeros((n_layers, 14, n_sc_c), jnp.complex64)
-        lg = lg.at[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)].set(x)
-        lg = lg + _dmrs_port_grid(refs, ports, n_sc_c, dsyms)
+        dmrs = _dmrs_port_grid(refs, ports, n_sc_c, dsyms)
+        if full_rows:
+            # data symbols are fully occupied: build the grid by reshape +
+            # static row stacking — no RE scatter (r4 TPU profile: the
+            # 80k-RE scatter cost ~5 ms/slot at 273 PRB)
+            xd = x.reshape(n_layers, len(data_syms), n_sc_c)
+            data_pos = {s: i for i, s in enumerate(data_syms)}
+            rows = [
+                xd[:, data_pos[s]] if s in data_pos else dmrs[:, s, :]
+                for s in range(14)
+            ]
+            lg = jnp.stack(rows, axis=1)
+        else:
+            lg = jnp.zeros((n_layers, 14, n_sc_c), jnp.complex64)
+            lg = lg.at[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)].set(x)
+            lg = lg + dmrs
         if w_kind == "none":
             pg = lg
         elif w_kind == "wideband":
             pg = jnp.einsum("pl,lsk->psk", w, lg, preferred_element_type=jnp.complex64)
         else:  # per-PRG
             pg = _prg_precode_canonical(lg, w)
-        # scatter the compact grid into the full carrier at the allocated PRBs
+        # place the compact grid into the full carrier at the allocated PRBs:
+        # one-hot MXU contraction instead of a scatter (prbs stay traced, so
+        # one compiled program serves every allocation of this layout)
         sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
-        full = jnp.zeros((pg.shape[0], 14, n_sc_grid), jnp.complex64)
-        full = full.at[:, :, sc_full].set(pg)
+        oneh = (sc_full[:, None] == jnp.arange(n_sc_grid)[None, :])
+        full = jnp.einsum("psk,kK->psK", pg, oneh.astype(jnp.float32),
+                          preferred_element_type=jnp.complex64)
         if has_extra:
             full = full + extra
         return full
@@ -330,6 +357,8 @@ def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
     n_basis = 6 if mcs >= 8 else 3
     prg = 2 if direction == "DL" else n_prb  # UL precoding is wideband
 
+    data_syms, full_rows = lay["data_syms"], lay["full_rows"]
+
     def fn(rx_grid, seq, refs, prbs, rv, soft_buffers):
         sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
         rx_c = rx_grid[:, :, sc_full]  # [n_rx, 14, n_sc_c]
@@ -337,8 +366,15 @@ def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
             rx_c, refs, ports, dsyms, n_prb, n_basis=n_basis, prg_prbs=prg,
         )
         eq, sinr = mmse_equalize(rx_c, h, nvar)
-        data = eq[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]  # [L, n_re]
-        re_sinr = sinr[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]
+        if full_rows:
+            # fully-occupied data symbols: row select + reshape, no 80k-RE
+            # gather (mirrors the transmit-side fast path; r4 TPU profile)
+            ds = jnp.asarray(np.asarray(data_syms, np.int32))
+            data = eq[:, ds, :].reshape(eq.shape[0], n_re)
+            re_sinr = sinr[:, ds, :].reshape(sinr.shape[0], n_re)
+        else:
+            data = eq[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]  # [L, n_re]
+            re_sinr = sinr[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]
         llr = demodulate_llr(data, 1.0 / jnp.maximum(re_sinr, 1e-9), mod)
         llr = _relayer_llrs(llr.reshape(-1), n_layers, qm, n_re)
         llr = descramble_llr(llr, seq)

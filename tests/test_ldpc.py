@@ -371,3 +371,37 @@ def test_lifting_encode_golden_fixture():
     alts = {k: v["encode_crc32"] for k, v in data["liftings"].items()
             if k != "committed"}
     assert all(v != crc for v in alts.values()), (crc, alts)
+
+
+def test_rate_match_roll_formulation_matches_index_reference():
+    """r4 TPU rewrite: roll+fold rate matching/recovery must be bit-exact
+    against the §5.4.2.1 index formulation for every RV, including filler
+    skipping and buffer wrap-around (E > Ncb - F)."""
+    bg, z = 2, 52
+    code = ldpc.lifted_code(bg, z)
+    k = code.k
+    n_filler = 40
+    qm = 4
+    rng = np.random.default_rng(8)
+    cw = rng.integers(0, 2, (3, code.n_full)).astype(np.int8)
+    for e_bits in (1200, (50 * z - n_filler) + 800):  # no-wrap and wrap
+        e_bits -= e_bits % qm
+        for rv in range(4):
+            got = np.asarray(ldpc.rate_match(
+                jnp.asarray(cw), bg, z, e_bits, jnp.int32(rv), n_filler, k, qm))
+            sel = ldpc.rate_match_indices(bg, z, e_bits, rv, n_filler, k)
+            ref = cw[..., 2 * z:][..., sel]
+            ref = ref[..., ldpc.interleave_indices(e_bits, qm)]
+            np.testing.assert_array_equal(got, ref, err_msg=f"rv={rv} E={e_bits}")
+            # recover: scatter-add reference
+            llr = rng.standard_normal((3, e_bits)).astype(np.float32)
+            full, buf = ldpc.rate_recover(
+                jnp.asarray(llr), bg, z, jnp.int32(rv), n_filler, k, qm)
+            deint = np.zeros_like(llr)
+            deint[..., ldpc.interleave_indices(e_bits, qm)] = llr
+            ref_buf = np.zeros((3, 50 * z), np.float32)
+            np.add.at(ref_buf, (slice(None), sel), deint)
+            f_start, f_end = k - n_filler - 2 * z, k - 2 * z
+            ref_buf[..., f_start:f_end] = 1e4
+            np.testing.assert_allclose(np.asarray(buf), ref_buf, rtol=1e-5,
+                                       atol=1e-4, err_msg=f"rv={rv} E={e_bits}")
