@@ -136,9 +136,9 @@ def estimate_channel_canonical(
     nvar_candidates = []
     for port in ports:
         delta = port // 2
-        sc = (12 * np.repeat(np.arange(n_prb), 6)
-              + np.tile(np.array([0, 2, 4, 6, 8, 10]), n_prb) + delta)
-        pil = rx_c[:, sym_j][:, :, jnp.asarray(sc)]  # [n_rx, n_dsym, 6*n_prb]
+        # comb-2 positions 12r + {0,2,..,10} + delta == delta::2 — a strided
+        # SLICE, not a gather (r4 TPU profile: constant gathers lower badly)
+        pil = rx_c[:, sym_j][:, :, delta::2]  # [n_rx, n_dsym, 6*n_prb]
         ref_p = refs if port % 2 == 0 else refs * occ
         ls = pil * jnp.conj(ref_p)[None]
         e, o = ls[..., 0::2], ls[..., 1::2]

@@ -227,8 +227,9 @@ def _prg_precode_canonical(layer_grid: jnp.ndarray, w: jnp.ndarray, prg_size: in
     """layer_grid [L, 14, 12*n_prb], w [n_prg, P, L] (canonical allocated-PRB
     pairs) -> port grid [P, 14, 12*n_prb]."""
     n_sc_c = layer_grid.shape[-1]
-    prg_of_sc = np.minimum((np.arange(n_sc_c) // 12) // prg_size, w.shape[0] - 1)
-    w_sc = w[jnp.asarray(prg_of_sc)]  # [n_sc_c, P, L]
+    # per-SC precoder = each PRG's matrix repeated over its 12*prg_size SCs:
+    # a broadcast+reshape, not a gather (constant gathers lower badly on TPU)
+    w_sc = jnp.repeat(w, 12 * prg_size, axis=0)[:n_sc_c]  # [n_sc_c, P, L]
     return jnp.einsum("kpl,lsk->psk", w_sc, layer_grid,
                       preferred_element_type=jnp.complex64)
 
