@@ -98,6 +98,27 @@ DEFAULT_LCID = 4  # setRLCChannelConfig.m:1-33 — single LC, LCID 4, LCG 1
 _add_jit = jax.jit(lambda a, b: a + b)
 _take_jit = jax.jit(lambda x, i: x[i])
 
+_pack_jit = jax.jit(
+    lambda xs: jnp.concatenate([jnp.ravel(v).astype(jnp.float32) for v in xs])
+)
+
+
+def _fetch_packed(leaves: list) -> list:
+    """ONE device->host round trip for a list of device arrays (any dtypes
+    representable exactly in f32: bools, small ints, f32). The axon relay
+    charges a ~27 ms fixed RTT per fetch (RELAY_NOTES.md r4); per-leaf
+    np.asarray calls made a 5-UE CSI slot cost ~15 RTTs. Returns numpy
+    arrays in input order (original shapes, f32 — callers cast)."""
+    if not leaves:
+        return []
+    flat = np.asarray(_pack_jit(tuple(leaves)))
+    out, off = [], 0
+    for x in leaves:
+        n = int(np.prod(x.shape)) if x.shape else 1
+        out.append(flat[off : off + n].reshape(x.shape))
+        off += n
+    return out
+
 from functools import partial as _partial
 
 
@@ -640,19 +661,59 @@ class CellSimulator:
         if not due:
             return
         self._deferred = [e for e in self._deferred if e["due"] > slot]
+        # ---- ONE packed device->host fetch for EVERY due result this slot
+        # (grant CRC/TB/SINR groups + all CSI/SRS reports): the relay's
+        # ~27 ms per-fetch RTT made per-entry np.asarray calls the engine's
+        # dominant cost (r4 slope profile) ----
+        leaves: list = []
+        packed_shares: list = []
+        for e in due:
+            kind = e["kind"]
+            if kind in ("dl", "ul"):
+                sh = e["share"]
+                if sh["np"] is None and not any(s is sh for s in packed_shares):
+                    packed_shares.append(sh)
+                    outs = sh["outs"]
+                    leaves += [outs["crc_ok"], outs["tb"], outs["sinr_db"]]
+            elif kind == "csi":
+                leaves.append(e["rank_dev"])
+                for rep in e["reports"]:
+                    leaves += [rep["cqi_sb"], rep["pmi_sb"]]
+            elif kind == "srs":
+                leaves.append(e["rank_dev"])
+                for tpmi, sdb in e["cands"]:
+                    leaves += [tpmi, sdb]
+        host = iter(_fetch_packed(leaves))
+        unpacked_shares: list = []
+        for e in due:  # unpack mirrors the pack loop's interleaved order
+            kind = e["kind"]
+            if kind in ("dl", "ul"):
+                sh = e["share"]
+                if sh["np"] is None and not any(s is sh for s in unpacked_shares):
+                    unpacked_shares.append(sh)
+                    sh["np"] = {
+                        "crc_ok": next(host) > 0.5,
+                        "tb": np.rint(next(host)).astype(np.int8),
+                        "sinr_db": next(host),
+                    }
+            elif kind == "csi":
+                e["rank_host"] = int(np.rint(next(host)).reshape(-1)[0])
+                e["reports_host"] = [
+                    {"cqi_sb": np.rint(next(host)).astype(np.int64),
+                     "pmi_sb": np.rint(next(host)).astype(np.int64)}
+                    for _ in e["reports"]
+                ]
+            elif kind == "srs":
+                e["rank_host"] = int(np.rint(next(host)).reshape(-1)[0])
+                e["cands_host"] = [
+                    (int(np.rint(next(host)).reshape(-1)[0]), next(host))
+                    for _ in e["cands"]
+                ]
         for e in due:
             kind = e["kind"]
             if kind in ("dl", "ul"):
                 g, share, i = e["g"], e["share"], e["i"]
                 d = "DL" if kind == "dl" else "UL"
-                if share["np"] is None:
-                    # ONE host transfer per batched group (not per grant)
-                    outs = share["outs"]
-                    share["np"] = {
-                        "crc_ok": np.asarray(outs["crc_ok"]),
-                        "tb": np.asarray(outs["tb"]),
-                        "sinr_db": np.asarray(outs["sinr_db"]),
-                    }
                 ok = bool(share["np"]["crc_ok"][i])
                 self.metrics.on_crc(d, g.ue, g.tbs, ok)
                 self.sched_log.log_crc(g.slot, d, g.ue, ok)
@@ -676,20 +737,23 @@ class CellSimulator:
                         sinr_db=float(share["np"]["sinr_db"][i]), rv=g.rv,
                     )
             elif kind == "csi":
-                rank = int(e["rank_dev"])
-                rep = e["reports"][rank - 1]
-                cqi_sb = np.asarray(rep["cqi_sb"])
-                cqi_rb = cqi_sb[self._sb_of_re]
+                rank = e["rank_host"]
+                rep = e["reports_host"][rank - 1]
+                cqi_rb = rep["cqi_sb"][self._sb_of_re]
                 self.scheduler.update_dl_csi(
-                    e["ue"], cqi_rb, rank, np.asarray(rep["pmi_sb"])
+                    e["ue"], cqi_rb, rank, rep["pmi_sb"]
                 )
                 self.sched_log.log_csi(slot, "DL", e["ue"], cqi_rb)
             elif kind == "srs":
-                rank = int(e["rank_dev"])
-                tpmi, sinr_db_sb = e["cands"][rank - 1]
-                cqi_sb = np.asarray(sinr_to_cqi(sinr_db_sb, SINR_TO_CQI_UL))
+                rank = e["rank_host"]
+                tpmi, sinr_db_sb = e["cands_host"][rank - 1]
+                # host-side threshold map (the fetched SINR is numpy now; an
+                # eager device op here would poison the relay session)
+                cqi_sb = np.sum(
+                    sinr_db_sb[..., None] >= SINR_TO_CQI_UL[None, :], axis=-1
+                ).astype(np.int64)
                 cqi_rb = cqi_sb[self._sb_of_re]
-                self.scheduler.update_ul_csi(e["ue"], cqi_rb, rank, int(tpmi))
+                self.scheduler.update_ul_csi(e["ue"], cqi_rb, rank, tpmi)
                 self.sched_log.log_csi(slot, "UL", e["ue"], cqi_rb)
 
     def _process_due(self, slot: int):
