@@ -494,8 +494,15 @@ def rate_match(codeword: jnp.ndarray, bg: int, z: int, e_bits: int, rv,
     else:
         vbuf = buf
     n_v = vbuf.shape[-1]
-    k0v = jnp.asarray(_rv_k0_virtual(bg, z, n_filler, k))[rv]
-    r = jnp.roll(vbuf, -k0v, axis=-1)
+    k0vs = _rv_k0_virtual(bg, z, n_filler, k)
+    # static roll per RV under a 4-way switch: each branch is a slice+concat
+    # (a traced-shift roll lowers to dynamic slices; the switch keeps the
+    # common rv=0 case a no-op while rv stays traced for HARQ program reuse)
+    r = jax.lax.switch(
+        jnp.asarray(rv, jnp.int32),
+        [partial(jnp.roll, shift=-int(k0), axis=-1) for k0 in k0vs],
+        vbuf,
+    )
     reps = int(np.ceil(e_bits / n_v))
     e = jnp.concatenate([r] * reps, axis=-1)[..., :e_bits] if reps > 1 else r[..., :e_bits]
     return e.reshape(*lead, qm, e_bits // qm).swapaxes(-1, -2).reshape(*lead, e_bits)
@@ -524,8 +531,12 @@ def rate_recover(
             [deint, jnp.zeros((*lead, pad), deint.dtype)], axis=-1
         )
     folded = deint.reshape(*lead, -1, n_v).sum(axis=-2)
-    k0v = jnp.asarray(_rv_k0_virtual(bg, z, n_filler, k))[rv]
-    vbuf = jnp.roll(folded, k0v, axis=-1)
+    k0vs = _rv_k0_virtual(bg, z, n_filler, k)
+    vbuf = jax.lax.switch(
+        jnp.asarray(rv, jnp.int32),
+        [partial(jnp.roll, shift=int(k0), axis=-1) for k0 in k0vs],
+        folded,
+    )
     f_start, f_end = k - n_filler - 2 * z, k - 2 * z
     if n_filler > 0:
         buf = jnp.concatenate(
