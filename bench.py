@@ -262,6 +262,48 @@ def bench_engine(n_rb=51, nfft=1024):
             ctx.__exit__(None, None, None)
 
 
+def bench_network(n_rb=51, nfft=1024):
+    """Lockstep 2-cell network frame with DL+UL co-channel interference
+    (sim/network.py SyncNetworkRunner): cell-slots/s through the FULL stack
+    including batched cross-cell CDL banks. The reference's parfeval workers
+    share nothing and cannot interfere at all (networkSimulation.m:44-55),
+    so this measures capability the reference lacks. Frame 1 pays compile;
+    frame 2 is the steady-state number. ISAC_TPU_FORCE_CPU=1 pins CPU
+    (main() reruns that way if the TPU attempt dies)."""
+    import os
+
+    import jax
+
+    from isac_tpu.config.params import SimulationParameters, assign_cell_parameters
+    from isac_tpu.config.scenarios import multi_cell
+    from isac_tpu.sim.network import SyncNetworkRunner
+
+    backend = jax.default_backend()
+    ctx = None
+    if os.environ.get("ISAC_TPU_FORCE_CPU") == "1" and backend != "cpu":
+        ctx = jax.default_device(jax.devices("cpu")[0])
+        ctx.__enter__()
+        backend = "cpu (forced: TPU attempt failed)"
+    try:
+        sim = multi_cell(SimulationParameters(), num_cells=2)
+        sim.validate()
+        cells = assign_cell_parameters(sim)
+        kw = dict(n_rb_override=n_rb, nfft_override=nfft, enable_sensing=False)
+        SyncNetworkRunner(cells, **kw).run()  # compile + warm
+        rn = SyncNetworkRunner(cells, seed=1, **kw)
+        t0 = time.perf_counter()
+        rn.run()
+        dt = time.perf_counter() - t0
+        return {
+            "network_cell_slots_per_s": 2 * rn.num_slots / dt,
+            "network_n_cells": 2,
+            "network_backend": backend,
+        }
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+
+
 # assumed dense-compute peaks for achieved-fraction estimates (bf16 MXU;
 # fp32/complex paths land lower). Labelled estimates, not measurements.
 _PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
@@ -399,7 +441,8 @@ def main():
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         fn = {"pdsch": bench_pdsch, "sensing": bench_sensing,
-              "ldpc": bench_ldpc_decode, "engine": bench_engine}[sys.argv[2]]
+              "ldpc": bench_ldpc_decode, "engine": bench_engine,
+              "network": bench_network}[sys.argv[2]]
         try:
             print(json.dumps(fn()))
         except Exception as e:
@@ -427,6 +470,10 @@ def main():
         # unkillable engine stage (VERDICT r3 #2): keep the TPU failure
         # string, rerun pinned to CPU so engine numbers always exist
         extra.update(_run_isolated("engine", 1200,
+                                   env_extra={"ISAC_TPU_FORCE_CPU": "1"}))
+    extra.update(_run_isolated("network", 1500))
+    if "network_cell_slots_per_s" not in extra:
+        extra.update(_run_isolated("network", 1500,
                                    env_extra={"ISAC_TPU_FORCE_CPU": "1"}))
     extra.update(_flops_estimates(extra))
     if "pdsch_info_mbps" in extra:
