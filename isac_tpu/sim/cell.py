@@ -128,6 +128,22 @@ def _h_slot_jit(ft, ff, c2, n_sc, n_rx, n_tx):
     return h.reshape(h.shape[0], 14, n_sc, n_rx, n_tx)
 
 
+@_partial(jax.jit, static_argnames=("n_sc", "n_rx", "n_tx"))
+def _h_slot_dev_jit(nu, sym_t, t0, ff, c2, n_sc, n_rx, n_tx):
+    """_h_slot_jit with the slow-time phases computed ON DEVICE from the ray
+    Dopplers (nu [L, R] f32, uploaded once) and the slot time scalar.
+
+    Replaces the per-slot host time_phases + complex H2D (4-6 relay client
+    calls per slot — the engine's non-fetch time was dominated by per-call
+    overhead, r4 instrumentation). f32 phase: nu*t < 1e2 cycles over a
+    frame, so the error vs the host float64 path is ~1e-5 rad — used on the
+    TPU backend only, keeping CPU (and the golden trace) bit-identical."""
+    ang = np.float32(2.0 * np.pi) * nu[:, None, :] * (t0 + sym_t)[None, :, None]
+    ft = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    h = _freq_response_jit(ft, ff, c2)
+    return h.reshape(h.shape[0], 14, n_sc, n_rx, n_tx)
+
+
 @_partial(jax.jit, static_argnames=("n_sym",))
 def _sen_slice_jit(port_grid, amp, n_sym):
     return port_grid[:, :n_sym, :] * amp
@@ -395,8 +411,12 @@ class CellSimulator:
                     bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx2)
                 ),
                 "nu": bl.nu,
+                "nu_dev": jnp.asarray(bl.nu.astype(np.float32)),  # uploaded once
                 "shape": (n_rx, n_tx2),
             }
+        self._sym_t_dev = jnp.asarray(self._sym_t.astype(np.float32))
+        # device-side slow-time phases on TPU only (see _h_slot_dev_jit)
+        self._h_dev_path = jax.default_backend() == "tpu"
 
         # ---------------- protocol state --------------------------------------
         sch = cell.scheduling
@@ -547,12 +567,21 @@ class CellSimulator:
             if len(self._h_cache) > 4:
                 self._h_cache.clear()
             b = self._bl[direction]
-            t = slot * self.carrier.slot_duration_s + self._sym_t
-            ft = xfer.asarray(time_phases(b["nu"], t))  # [L, 14, R]
             n_rx, n_tx = b["shape"]
-            self._h_cache[key] = _h_slot_jit(
-                ft, b["ff"], b["c2"], self.n_sc, n_rx, n_tx
-            )
+            if self._h_dev_path:
+                # phases built on device from the once-uploaded Dopplers:
+                # one dispatch, no per-slot complex H2D
+                self._h_cache[key] = _h_slot_dev_jit(
+                    b["nu_dev"], self._sym_t_dev,
+                    np.float32(slot * self.carrier.slot_duration_s),
+                    b["ff"], b["c2"], self.n_sc, n_rx, n_tx,
+                )
+            else:
+                t = slot * self.carrier.slot_duration_s + self._sym_t
+                ft = xfer.asarray(time_phases(b["nu"], t))  # [L, 14, R]
+                self._h_cache[key] = _h_slot_jit(
+                    ft, b["ff"], b["c2"], self.n_sc, n_rx, n_tx
+                )
         return self._h_cache[key]
 
     def _h_dl(self, ue: int, slot: int) -> jnp.ndarray:
