@@ -378,6 +378,47 @@ def estimate_channel_dmrs(
     return h, noise_var
 
 
+def _mmse_planes(rx_grid: jnp.ndarray, h: jnp.ndarray, noise_var, n_layers: int):
+    """L<=2 MMSE on [n_sym, n_sc] PLANES (struct-of-arrays).
+
+    The general path carries [..., L, L] matrices whose trailing dims sit in
+    the TPU's (8, 128) tile — 64x lane padding on every elementwise op; at
+    273 PRB that made MMSE ~5 ms of the 16 ms slot (r4 profile). Unrolling
+    the tiny Hermitian algebra over full-lane planes removes the padding.
+    Bitwise formulation: A = H^H H + nv I; x = A^-1 H^H y;
+    mu_l = 1 - nv*[A^-1]_ll; sym = x/mu; sinr = mu/(1-mu)."""
+    n_rx = rx_grid.shape[0]
+    nv = jnp.asarray(noise_var, jnp.float32)
+    y = [rx_grid[r] for r in range(n_rx)]
+    h0 = [h[..., r, 0] for r in range(n_rx)]
+    a11 = sum(jnp.abs(v) ** 2 for v in h0) + nv
+    r0 = sum(jnp.conj(hr) * yr for hr, yr in zip(h0, y))
+    eps = 1e-6
+    if n_layers == 1:
+        # q = 1-mu = nv*[A^-1]_00 computed DIRECTLY: no 1-x cancellation at
+        # high SINR (the matrix path's mu~1-1e-5 rounding cost ~0.1 dB)
+        q0 = jnp.clip(nv / a11, eps, 1.0 - eps)
+        mu0 = 1.0 - q0
+        x0 = r0 / a11.astype(r0.dtype)
+        sym = (x0 / mu0.astype(x0.dtype))[None]
+        sinr = (mu0 / q0)[None]
+        return sym, sinr
+    h1 = [h[..., r, 1] for r in range(n_rx)]
+    a22 = sum(jnp.abs(v) ** 2 for v in h1) + nv
+    a12 = sum(jnp.conj(p) * q for p, q in zip(h0, h1))
+    det = a11 * a22 - jnp.abs(a12) ** 2
+    det = jnp.maximum(det, 1e-20)
+    r1 = sum(jnp.conj(hr) * yr for hr, yr in zip(h1, y))
+    x0 = (a22.astype(r0.dtype) * r0 - a12 * r1) / det.astype(r0.dtype)
+    x1 = (a11.astype(r1.dtype) * r1 - jnp.conj(a12) * r0) / det.astype(r1.dtype)
+    q0 = jnp.clip(nv * a22 / det, eps, 1.0 - eps)
+    q1 = jnp.clip(nv * a11 / det, eps, 1.0 - eps)
+    mu0, mu1 = 1.0 - q0, 1.0 - q1
+    sym = jnp.stack([x0 / mu0.astype(x0.dtype), x1 / mu1.astype(x1.dtype)])
+    sinr = jnp.stack([mu0 / q0, mu1 / q1])
+    return sym, sinr
+
+
 def mmse_equalize(
     rx_grid: jnp.ndarray,  # [n_rx, n_sym, n_sc]
     h: jnp.ndarray,  # [n_sym, n_sc, n_rx, n_layers]
@@ -391,6 +432,8 @@ def mmse_equalize(
     """
     n_rx, n_sym, n_sc = rx_grid.shape
     n_layers = h.shape[-1]
+    if n_layers <= 2:
+        return _mmse_planes(rx_grid, h, noise_var, n_layers)
     y = jnp.transpose(rx_grid, (1, 2, 0))[..., None]  # [S, K, n_rx, 1]
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # [S, K, L, n_rx]
     a = jnp.einsum("...lr,...rm->...lm", hh, h)  # H^H H [S, K, L, L]
