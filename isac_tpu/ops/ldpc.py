@@ -163,6 +163,17 @@ def _gather_shift(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
     return x[..., jnp.asarray(e), jnp.asarray(idx)]
 
 
+def _use_static_rolls() -> bool:
+    """TPU: unrolled static per-edge rolls (gathers lower poorly — r4
+    profile: 5x chain speedup). CPU: the compact gather formulation — the
+    ~300-op unrolled graphs made XLA:CPU compiles (and the test suite)
+    minutes-slow for zero runtime benefit there. Both produce identical
+    bits."""
+    dd = jax.config.jax_default_device
+    plat = dd.platform if dd is not None else jax.default_backend()
+    return plat == "tpu"
+
+
 def _shift_idx(shifts: np.ndarray, z: int, inverse: bool = False) -> np.ndarray:
     i = np.arange(z)[None, :]
     s = shifts[:, None]
@@ -217,23 +228,32 @@ def _encode_jit(msg: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
     def pshift(v, s):  # (P^s v)[i] = v[(i+s) mod Z]
         return jnp.roll(v, -s, axis=-1)
 
-    # all systematic contributions accumulated with STATIC per-edge rolls
-    # (slice+concat on TPU) — the former [Es, Z] shift gather + one-hot
-    # einsum was the encoder's dominant cost (r4 profile; same fix as
-    # parity_check). float32 sums stay exact (row degrees are small).
-    sys_edges = [
-        (int(code.rows[e]), int(code.cols[e]), int(code.shifts[e]))
-        for e in np.nonzero(code.cols < kc)[0]
-    ]
-    lam_rows: list = [None] * code.n_rows
-    for r, c, s in sys_edges:
-        t = pshift(m[..., c, :], s)
-        lam_rows[r] = t if lam_rows[r] is None else lam_rows[r] + t
+    # systematic contributions: STATIC per-edge rolls on TPU (the [Es, Z]
+    # shift gather + one-hot einsum was the encoder's dominant cost there,
+    # r4 profile), compact gather+einsum on CPU (fast compile). float32
+    # sums stay exact (row degrees are small).
     zero = jnp.zeros((*m.shape[:-2], z), jnp.float32)
-    lam = jnp.mod(
-        jnp.stack([v if v is not None else zero for v in lam_rows], axis=-2),
-        2.0,
-    )  # [..., n_rows, Z]
+    if _use_static_rolls():
+        sys_edges = [
+            (int(code.rows[e]), int(code.cols[e]), int(code.shifts[e]))
+            for e in np.nonzero(code.cols < kc)[0]
+        ]
+        lam_rows: list = [None] * code.n_rows
+        for r, c, s in sys_edges:
+            t = pshift(m[..., c, :], s)
+            lam_rows[r] = t if lam_rows[r] is None else lam_rows[r] + t
+        lam = jnp.mod(
+            jnp.stack([v if v is not None else zero for v in lam_rows],
+                      axis=-2),
+            2.0,
+        )  # [..., n_rows, Z]
+    else:
+        m_e = _gather_shift(m[..., jnp.asarray(sys_cols), :], sys_idx)
+        lam = jnp.mod(
+            jnp.einsum("re,...ez->...rz", jnp.asarray(sys_oneh), m_e,
+                       preferred_element_type=jnp.float32),
+            2.0,
+        )
     # p1 by the row-sum trick: equal-shift p1 terms cancel mod 2 leaving the
     # single survivor P^{p1_surv}; bidiagonal terms cancel pairwise.
     s_all = jnp.mod(lam[..., 0, :] + lam[..., 1, :] + lam[..., 2, :] + lam[..., 3, :], 2.0)
@@ -251,17 +271,25 @@ def _encode_jit(msg: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
         p[j + 1] = jnp.mod(acc, 2.0)
     p_core = jnp.stack(p, axis=-2)  # [..., 4, Z]
     # extension parities: systematic row-sums XOR core-parity taps (same
-    # static-roll accumulation as the systematic edges)
-    tap_edges = [
-        (int(code.rows[e]) - 4, int(code.cols[e]) - kc, int(code.shifts[e]))
-        for e in np.nonzero(
-            (code.cols >= kc) & (code.cols < kc + 4) & (code.rows >= 4))[0]
-    ]
-    tap_rows: list = [None] * (code.n_rows - 4)
-    for r, c, s in tap_edges:
-        t = pshift(p[c], s)
-        tap_rows[r] = t if tap_rows[r] is None else tap_rows[r] + t
-    taps = jnp.stack([v if v is not None else zero for v in tap_rows], axis=-2)
+    # backend split as the systematic edges)
+    if _use_static_rolls():
+        tap_edges = [
+            (int(code.rows[e]) - 4, int(code.cols[e]) - kc, int(code.shifts[e]))
+            for e in np.nonzero(
+                (code.cols >= kc) & (code.cols < kc + 4) & (code.rows >= 4))[0]
+        ]
+        tap_rows: list = [None] * (code.n_rows - 4)
+        for r, c, s in tap_edges:
+            t = pshift(p[c], s)
+            tap_rows[r] = t if tap_rows[r] is None else tap_rows[r] + t
+        taps = jnp.stack([v if v is not None else zero for v in tap_rows],
+                         axis=-2)
+    elif tap_cols.shape[0]:
+        t_e = _gather_shift(p_core[..., jnp.asarray(tap_cols), :], tap_idx)
+        taps = jnp.einsum("re,...ez->...rz", jnp.asarray(tap_oneh), t_e,
+                          preferred_element_type=jnp.float32)
+    else:
+        taps = 0.0
     p_ext = jnp.mod(lam[..., 4:, :] + taps, 2.0)
     out = jnp.concatenate(
         [m.reshape(*msg.shape[:-1], -1),
@@ -409,18 +437,27 @@ def decode(
 def parity_check(hard_full: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
     """Hard bits [..., n_cols*z] -> all-check-equations-satisfied bool [...].
 
-    Syndrome accumulated with STATIC per-edge cyclic rolls (slice+concat on
-    TPU) instead of a [E, Z] shift gather — the gather was most of
-    sch_decode's non-kernel time at 273-PRB scale (r4 profile)."""
+    Syndrome accumulated with STATIC per-edge cyclic rolls on TPU
+    (slice+concat; the [E, Z] shift gather was most of sch_decode's
+    non-kernel time at 273-PRB scale — r4 profile); compact gather + one-hot
+    einsum on CPU, where the ~300-op unrolled graph only slows compiles."""
     code = lifted_code(bg, z)
     batch = hard_full.shape[:-1]
     b = hard_full.reshape(*batch, code.n_cols, z).astype(jnp.float32)
-    syn: list = [None] * code.n_rows
-    for e in range(code.rows.shape[0]):
-        r, c, s = int(code.rows[e]), int(code.cols[e]), int(code.shifts[e])
-        t = jnp.roll(b[..., c, :], -s, axis=-1)
-        syn[r] = t if syn[r] is None else syn[r] + t
-    sy = jnp.stack(syn, axis=-2)
+    if _use_static_rolls():
+        syn: list = [None] * code.n_rows
+        for e in range(code.rows.shape[0]):
+            r, c, s = int(code.rows[e]), int(code.cols[e]), int(code.shifts[e])
+            t = jnp.roll(b[..., c, :], -s, axis=-1)
+            syn[r] = t if syn[r] is None else syn[r] + t
+        sy = jnp.stack(syn, axis=-2)
+        return jnp.all(jnp.mod(jnp.round(sy), 2.0) == 0, axis=(-2, -1))
+    _, _, _, _, _, fwd_idx, _, _ = _decode_plan(bg, z)
+    e_count = code.rows.shape[0]
+    bits_e = _gather_shift(b[..., jnp.asarray(code.cols), :], fwd_idx)
+    row_oneh = np.zeros((code.n_rows, e_count), np.float32)
+    row_oneh[code.rows, np.arange(e_count)] = 1.0
+    sy = jnp.einsum("re,...ez->...rz", jnp.asarray(row_oneh), bits_e)
     return jnp.all(jnp.mod(jnp.round(sy), 2.0) == 0, axis=(-2, -1))
 
 

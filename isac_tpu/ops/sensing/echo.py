@@ -60,12 +60,19 @@ def apply_radar_channel(
     else:
         a = jnp.asarray(steer, jnp.complex64)  # [n_ants, T]
         q = jnp.dot(tx_wave, a, preferred_element_type=jnp.complex64)  # [N, T]
-        # integer zero-fill delay per target: gather with clamped indices + mask
-        # (computed on device — a host [N, T] constant would bloat the executable)
+        # integer zero-fill delay per target: the shifts are HOST constants,
+        # so each is a static zero-pad + slice (the former [N, T]
+        # take_along_axis gather lowers poorly on TPU — r4 profile)
+        cols = []
+        for t in range(t_count):
+            s = int(shift[t])
+            col = q[:, t]
+            if s > 0:
+                col = jnp.concatenate(
+                    [jnp.zeros((s,), col.dtype), col[: n - s]])
+            cols.append(col)
+        q_shift = jnp.stack(cols, axis=1)
         n_idx = jax.lax.broadcasted_iota(jnp.int32, (n, t_count), 0)
-        sh = jnp.asarray(shift.astype(np.int32))[None, :]
-        idx = n_idx - sh
-        q_shift = jnp.take_along_axis(q, jnp.maximum(idx, 0), axis=0) * (idx >= 0)
         # Doppler ramp on the post-shift sample clock (reference applies the ramp
         # from t=0 after shifting: basicRadarChannel.m:43-45)
         ts = 1.0 / params.fs
