@@ -66,9 +66,12 @@ def _fenced_scan(step_fn, xs, n_steps, consts=()):
     def timed(k):
         xs_k = jax.tree.map(lambda a: a[:k], xs)
         v = float(np.asarray(run(xs_k, consts)))  # compile + warm (real exec)
-        t0 = time.perf_counter()
-        v = float(np.asarray(run(xs_k, consts)))
-        return time.perf_counter() - t0, v
+        best = np.inf
+        for _ in range(2):  # min over repeats: relay RTT jitter is +-10 ms
+            t0 = time.perf_counter()
+            v = float(np.asarray(run(xs_k, consts)))
+            best = min(best, time.perf_counter() - t0)
+        return best, v
 
     n_small = max(2, n_steps // 4)
     t_small, _ = timed(n_small)

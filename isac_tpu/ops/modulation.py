@@ -74,19 +74,26 @@ def _axis_level(s: jnp.ndarray) -> jnp.ndarray:
     return s[..., 0] * t
 
 
-def modulate(bits: jnp.ndarray, mod: str) -> jnp.ndarray:
+def modulate(bits: jnp.ndarray, mod: str, scramble: jnp.ndarray | None = None) -> jnp.ndarray:
     """bits [..., n*Qm] in {0,1} -> symbols [..., n] complex64.
 
     Closed-form Gray mapping (even bit planes -> I, odd -> Q) instead of a
     2^Qm-entry table gather: the gather was the transmit chain's hottest op
     on TPU (11.6 ms of a 36 ms 273-PRB 4-link slot; r4 profile) — the
-    arithmetic form is pure fused VPU work."""
+    arithmetic form is pure fused VPU work.
+
+    scramble: optional Gold sequence [..., n*Qm]; XOR folds into the sign
+    planes exactly ((1-2(b^c)) == (1-2b)(1-2c)), so scrambling costs one
+    fused multiply instead of an int32 XOR pass over G bits."""
     qm = MODULATION_ORDERS[mod]
     *lead, nb = bits.shape
     if nb % qm:
         raise ValueError(f"{nb} bits not a multiple of Qm={qm}")
     groups = bits.reshape(*lead, nb // qm, qm).astype(jnp.float32)
     s = 1.0 - 2.0 * groups
+    if scramble is not None:
+        sc = scramble.reshape(*scramble.shape[:-1], nb // qm, qm).astype(jnp.float32)
+        s = s * (1.0 - 2.0 * sc)
     if mod == "BPSK":  # §5.1.2: both axes carry the single bit
         lvl = s[..., 0] * np.float32(1.0 / np.sqrt(2))
         return (lvl + 1j * lvl).astype(jnp.complex64)

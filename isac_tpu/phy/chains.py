@@ -252,8 +252,7 @@ def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
 
     def fn(tb_bits, seq, refs, prbs, rv, w, extra):
         coded = transport.sch_encode(tb_bits, cfg, rv)
-        scr = scramble_bits(coded, seq)
-        d = modulate(scr, mod)
+        d = modulate(coded, mod, scramble=seq)  # XOR folded into sign planes
         x = layer_map(d, n_layers)  # [L, n_re]
         dmrs = _dmrs_port_grid(refs, ports, n_sc_c, dsyms)
         if full_rows:

@@ -99,3 +99,15 @@ def test_closed_form_matches_table_all_mods():
             d1 = np.min(np.where(labels[:, b] == 1, d2, 1e30), -1)
             want[:, b] = (d1 - d0) / nv
         np.testing.assert_allclose(got, want.reshape(-1), rtol=2e-4, atol=2e-4)
+
+
+def test_modulate_scramble_fold_equivalence():
+    """modulate(bits, scramble=c) must equal modulate(bits XOR c): the XOR
+    folds into the Gray sign planes exactly ((1-2(b^c)) = (1-2b)(1-2c))."""
+    rng = np.random.default_rng(4)
+    for mod, qm in MODULATION_ORDERS.items():
+        bits = rng.integers(0, 2, 12 * qm).astype(np.int8)
+        c = rng.integers(0, 2, 12 * qm).astype(np.int8)
+        a = np.asarray(modulate(jnp.asarray(bits ^ c), mod))
+        b = np.asarray(modulate(jnp.asarray(bits), mod, scramble=jnp.asarray(c)))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
