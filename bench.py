@@ -445,7 +445,11 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         fn = {"pdsch": bench_pdsch, "sensing": bench_sensing,
               "ldpc": bench_ldpc_decode, "engine": bench_engine,
-              "network": bench_network}[sys.argv[2]]
+              "network": bench_network,
+              "pdsch16": lambda: {
+                  ("pdsch16_" + k.split("pdsch_", 1)[-1] if k.startswith("pdsch_") else k): v
+                  for k, v in bench_pdsch(n_links=16).items()
+              }}[sys.argv[2]]
         try:
             print(json.dumps(fn()))
         except Exception as e:
@@ -463,6 +467,10 @@ def main():
         "timing_fence": "jitted-scan+f32-readback+two-point-slope",
     }
     extra.update(_run_isolated("pdsch", 1800))
+    # batch-scaling point: 16 links amortize the near-fixed per-step costs
+    # (the decode kernel is latency-bound — 4x codewords were measured
+    # nearly free); errors here never block the headline stages
+    extra.update(_run_isolated("pdsch16", 900))
     extra.update(_run_isolated("sensing", 1500))
     if "pdsch_info_mbps" not in extra:
         # the relay rejects an op in the full chain (tracked in pdsch_error);

@@ -238,7 +238,12 @@ def canonical_prg_count(n_prb: int, prg_size: int = 2) -> int:
     return (n_prb + prg_size - 1) // prg_size
 
 
-def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
+def _is_contig(prbs) -> bool:
+    p = np.asarray(prbs)
+    return bool(p.size > 0 and np.all(np.diff(p) == 1))
+
+
+def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool, contig: bool = False):
     lay = _layout(key)
     (n_prb, sym_start, n_sym, mcs, mcs_table, n_layers, add_pos,
      n_sc_grid, direction, reserved) = key
@@ -276,13 +281,20 @@ def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
             pg = jnp.einsum("pl,lsk->psk", w, lg, preferred_element_type=jnp.complex64)
         else:  # per-PRG
             pg = _prg_precode_canonical(lg, w)
-        # place the compact grid into the full carrier at the allocated PRBs:
-        # one-hot MXU contraction instead of a scatter (prbs stay traced, so
-        # one compiled program serves every allocation of this layout)
-        sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
-        oneh = (sc_full[:, None] == jnp.arange(n_sc_grid)[None, :])
-        full = jnp.einsum("psk,kK->psK", pg, oneh.astype(jnp.float32),
-                          preferred_element_type=jnp.complex64)
+        # place the compact grid into the full carrier at the allocated PRBs.
+        # Contiguous allocations (the common scheduler output): ONE
+        # dynamic_update_slice at the traced start PRB. Non-contiguous
+        # (RBG-interleaved) allocations: one-hot MXU contraction — either
+        # way no scatter, and prbs stay traced so one compiled program
+        # serves every allocation of this (layout, contiguity) class.
+        if contig:
+            full = jnp.zeros((pg.shape[0], 14, n_sc_grid), jnp.complex64)
+            full = jax.lax.dynamic_update_slice(full, pg, (0, 0, prbs[0] * 12))
+        else:
+            sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
+            oneh = (sc_full[:, None] == jnp.arange(n_sc_grid)[None, :])
+            full = jnp.einsum("psk,kK->psK", pg, oneh.astype(jnp.float32),
+                              preferred_element_type=jnp.complex64)
         if has_extra:
             full = full + extra
         return full
@@ -291,18 +303,19 @@ def _make_tx_fn(key: tuple, w_kind: str, has_extra: bool):
 
 
 @lru_cache(maxsize=256)
-def _tx_kernel(key: tuple, w_kind: str, has_extra: bool):
-    return jax.jit(_make_tx_fn(key, w_kind, has_extra))
+def _tx_kernel(key: tuple, w_kind: str, has_extra: bool, contig: bool = False):
+    return jax.jit(_make_tx_fn(key, w_kind, has_extra, contig))
 
 
 @lru_cache(maxsize=256)
-def _tx_kernel_batch(key: tuple, w_kind: str, reduce_sum: bool):
+def _tx_kernel_batch(key: tuple, w_kind: str, reduce_sum: bool,
+                     contig: bool = False):
     """Vmapped transmit over same-layout grants (VERDICT r2 #2: the engine's
     per-grant dispatch loop becomes one XLA program for all co-scheduled
     grants of a layout signature). reduce_sum fuses the co-channel sum
     (PDSCH: all grants share the gNB antennas); without it, per-grant grids
     come back stacked (PUSCH: each grant rides its own UE's channel)."""
-    fn = _make_tx_fn(key, w_kind, False)
+    fn = _make_tx_fn(key, w_kind, False, contig)
 
     def batched(tb, seq, refs, prbs, rv, w):
         grids = jax.vmap(lambda a, b, c, d, e, f: fn(a, b, c, d, e, f, None))(
@@ -329,7 +342,8 @@ def sch_transmit(
     """
     lay = _layout(grant.layout_key())
     w_kind = "none" if w is None else ("wideband" if w.ndim == 2 else "prg")
-    fn = _tx_kernel(grant.layout_key(), w_kind, extra_grid is not None)
+    fn = _tx_kernel(grant.layout_key(), w_kind, extra_grid is not None,
+                    _is_contig(grant.prbs))
     seq = jnp.asarray(_scrambling_seq(grant, lay["cfg"].g))
     refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
@@ -341,7 +355,8 @@ def sch_transmit(
     return pg, {"tbs": lay["tbs"], "g": lay["cfg"].g, "cfg": lay["cfg"]}
 
 
-def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
+def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int,
+                contig: bool = False):
     lay = _layout(key)
     (n_prb, sym_start, n_sym, mcs, mcs_table, n_layers, add_pos,
      n_sc_grid, direction, reserved) = key
@@ -360,8 +375,13 @@ def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
     data_syms, full_rows = lay["data_syms"], lay["full_rows"]
 
     def fn(rx_grid, seq, refs, prbs, rv, soft_buffers):
-        sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
-        rx_c = rx_grid[:, :, sc_full]  # [n_rx, 14, n_sc_c]
+        if contig:  # one dynamic_slice instead of a full-band gather
+            rx_c = jax.lax.dynamic_slice(
+                rx_grid, (0, 0, prbs[0] * 12),
+                (rx_grid.shape[0], rx_grid.shape[1], n_sc_c))
+        else:
+            sc_full = (12 * prbs[:, None] + jnp.arange(12)[None, :]).reshape(-1)
+            rx_c = rx_grid[:, :, sc_full]  # [n_rx, 14, n_sc_c]
         h, nvar = estimate_channel_canonical(
             rx_c, refs, ports, dsyms, n_prb, n_basis=n_basis, prg_prbs=prg,
         )
@@ -390,18 +410,20 @@ def _make_rx_fn(key: tuple, has_bufs: bool, n_ldpc_iter: int):
 
 
 @lru_cache(maxsize=256)
-def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int):
-    return jax.jit(_make_rx_fn(key, has_bufs, n_ldpc_iter))
+def _rx_kernel(key: tuple, has_bufs: bool, n_ldpc_iter: int,
+               contig: bool = False):
+    return jax.jit(_make_rx_fn(key, has_bufs, n_ldpc_iter, contig))
 
 
 @lru_cache(maxsize=256)
-def _rx_kernel_batch(key: tuple, n_ldpc_iter: int, rx_is_tuple: bool):
+def _rx_kernel_batch(key: tuple, n_ldpc_iter: int, rx_is_tuple: bool,
+                     contig: bool = False):
     """Vmapped receive over same-layout grants, with the per-grant rx grid
     selected INSIDE the program (rx_all[idx]) so the engine never pays eager
     gather dispatches. Soft buffers arrive as a per-grant tuple and stack
     inside the program (zeros for fresh HARQ processes — additive identity in
     rate_recover), so one compiled program serves new tx and retx alike."""
-    fn = _make_rx_fn(key, True, n_ldpc_iter)
+    fn = _make_rx_fn(key, True, n_ldpc_iter, contig)
 
     def wrapped(rx_all, idx, seq, refs, prbs, rv, bufs):
         rx = jnp.stack(rx_all) if rx_is_tuple else rx_all
@@ -423,7 +445,8 @@ def sch_receive(
     Returns dict: tb, crc_ok, soft_buffers, sinr_db (mean post-eq), noise_var.
     """
     lay = _layout(grant.layout_key())
-    fn = _rx_kernel(grant.layout_key(), soft_buffers is not None, n_ldpc_iter)
+    fn = _rx_kernel(grant.layout_key(), soft_buffers is not None, n_ldpc_iter,
+                    _is_contig(grant.prbs))
     seq = jnp.asarray(_scrambling_seq(grant, lay["cfg"].g))
     refs = xfer.asarray(_dmrs_refs(grant, lay["dsyms"]))
     prbs = jnp.asarray(np.asarray(grant.prbs, np.int32))
@@ -460,7 +483,8 @@ def sch_transmit_batch(
     key = grants[0].layout_key()
     w_kind = "wideband" if w_list[0].ndim == 2 else "prg"
     _, seq, refs, prbs, rv = _stack_grant_inputs(grants)
-    fn = _tx_kernel_batch(key, w_kind, reduce_sum)
+    fn = _tx_kernel_batch(key, w_kind, reduce_sum,
+                          all(_is_contig(g.prbs) for g in grants))
     tb = np.stack([np.asarray(t) for t in tb_list])
     return fn(tb, seq, xfer.asarray(refs), prbs, rv,
               xfer.asarray(np.stack([np.asarray(w) for w in w_list])))
@@ -497,7 +521,8 @@ def sch_receive_batch(
         idx = np.asarray(rx_indices, np.int32)
     zeros = np.zeros(grant_soft_buffer_shape(grants[0]), np.float32)
     bufs = tuple(b if b is not None else zeros for b in soft_buffers_list)
-    fn = _rx_kernel_batch(key, n_ldpc_iter, isinstance(rx_all, tuple))
+    fn = _rx_kernel_batch(key, n_ldpc_iter, isinstance(rx_all, tuple),
+                          all(_is_contig(g.prbs) for g in grants))
     out = fn(rx_all, idx, seq, xfer.asarray(refs), prbs, rv, bufs)
     out["tbs"] = lay["tbs"]
     return out
