@@ -678,22 +678,15 @@ class CellSimulator:
 
     # --------------------------------------------------------------- feedback
 
-    def _materialize_due(self, slot: int):
-        """Sync device-side results whose protocol due slot has arrived.
-
-        The r2 engine forced a host<->device round-trip per grant inside the
-        slot loop (`bool(out['crc_ok'])`); here every CRC/CSI/SRS result stays
-        an async device value until the slot its feedback would reach the
-        scheduler anyway (k1 for DL HARQ, next slot for UL / SRS), so the
-        device pipeline runs ahead of the host control plane."""
+    def _collect_due(self, slot: int):
+        """Pop due deferred entries and list their device leaves (for the
+        single packed fetch). A network driver collects EVERY cell's leaves
+        first and fetches them together — one RTT per slot for the whole
+        network instead of one per cell."""
         due = [e for e in self._deferred if e["due"] <= slot]
         if not due:
-            return
+            return [], []
         self._deferred = [e for e in self._deferred if e["due"] > slot]
-        # ---- ONE packed device->host fetch for EVERY due result this slot
-        # (grant CRC/TB/SINR groups + all CSI/SRS reports): the relay's
-        # ~27 ms per-fetch RTT made per-entry np.asarray calls the engine's
-        # dominant cost (r4 slope profile) ----
         leaves: list = []
         packed_shares: list = []
         for e in due:
@@ -712,7 +705,25 @@ class CellSimulator:
                 leaves.append(e["rank_dev"])
                 for tpmi, sdb in e["cands"]:
                     leaves += [tpmi, sdb]
-        host = iter(_fetch_packed(leaves))
+        return due, leaves
+
+    def _materialize_due(self, slot: int):
+        """Sync device-side results whose protocol due slot has arrived.
+
+        The r2 engine forced a host<->device round-trip per grant inside the
+        slot loop (`bool(out['crc_ok'])`); here every CRC/CSI/SRS result stays
+        an async device value until the slot its feedback would reach the
+        scheduler anyway (k1 for DL HARQ, next slot for UL / SRS), so the
+        device pipeline runs ahead of the host control plane. ONE packed
+        device->host fetch covers every due result this slot (the relay's
+        ~27 ms per-fetch RTT made per-entry np.asarray calls the engine's
+        dominant cost — r4 slope profile)."""
+        due, leaves = self._collect_due(slot)
+        if not due:
+            return
+        self._consume_due(slot, due, iter(_fetch_packed(leaves)))
+
+    def _consume_due(self, slot: int, due: list, host):
         unpacked_shares: list = []
         for e in due:  # unpack mirrors the pack loop's interleaved order
             kind = e["kind"]
@@ -1309,12 +1320,18 @@ class CellSimulator:
 
     # ------------------------------------------------------------- slot pieces
 
-    def _slot_begin(self, slot: int) -> dict:
+    def _slot_begin(self, slot: int, skip_materialize: bool = False) -> dict:
         """Timers, due feedback, slot typing, SRS counters — the per-slot
-        prologue a network driver runs per cell before any tx phase."""
+        prologue a network driver runs per cell before any tx phase.
+
+        skip_materialize: the network driver has already materialized this
+        cell's due results through the cross-cell batched fetch
+        (SyncNetworkRunner._materialize_all — one RTT per slot for the
+        whole network)."""
         if slot % self._slots_per_ms == 0:
             self._tick_1ms()
-        self._materialize_due(slot)
+        if not skip_materialize:
+            self._materialize_due(slot)
         self._process_due(slot)
         stype = "D" if self.fdd else self.tdd.slot_type(slot)
         ul_capable = self.fdd or stype in ("U", "S")

@@ -100,6 +100,17 @@ def _h_cross_slot_jit(ft, ff, c2, n_sc, n_rx, n_tx, s, u):
     return h.reshape(s, u, 14, n_sc, n_rx, n_tx)
 
 
+@partial(jax.jit, static_argnames=("n_sc", "n_rx", "n_tx", "s", "u"))
+def _h_cross_slot_dev_jit(nu, sym_t, t0, ff, c2, n_sc, n_rx, n_tx, s, u):
+    """_h_cross_slot_jit with slow-time phases built ON DEVICE from the
+    once-uploaded ray Dopplers (TPU path — same rationale as
+    sim/cell.py:_h_slot_dev_jit: no per-slot host phases or complex H2D)."""
+    ang = np.float32(2.0 * np.pi) * nu[:, None, :] * (t0 + sym_t)[None, :, None]
+    ft = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    h = _freq_response_jit(ft, ff, c2)
+    return h.reshape(s, u, 14, n_sc, n_rx, n_tx)
+
+
 @jax.jit
 def _cross_rx_sum_jit(tx_tuple, h, amp):
     """Every co-channel source's contribution at every destination UE, summed,
@@ -187,6 +198,9 @@ class _CrossBank:
         self._ff = xfer.asarray(freq_phases(bl.tau, dst_sim.freqs))
         self._c2 = xfer.asarray(bl.coeff.transpose(0, 3, 1, 2).reshape(L, R, n_rx * n_tx))
         self._nu = bl.nu
+        self._nu_dev = jnp.asarray(bl.nu.astype(np.float32))
+        self._sym_t_dev = jnp.asarray(dst_sim._sym_t.astype(np.float32))
+        self._dev_path = jax.default_backend() == "tpu"
         self._shape = (n_rx, n_tx)
         self._sym_t = dst_sim._sym_t
         self._slot_dur = dst_sim.carrier.slot_duration_s
@@ -202,13 +216,21 @@ class _CrossBank:
         reciprocity share the dispatch)."""
         if slot not in self._h_cache:
             self._h_cache.clear()
-            t = slot * self._slot_dur + self._sym_t
-            ft = xfer.asarray(time_phases(self._nu, t))
             n_rx, n_tx = self._shape
-            self._h_cache[slot] = _h_cross_slot_jit(
-                ft, self._ff, self._c2, self._n_sc, n_rx, n_tx,
-                self.n_cells, self.n_ues,
-            )
+            if self._dev_path:
+                self._h_cache[slot] = _h_cross_slot_dev_jit(
+                    self._nu_dev, self._sym_t_dev,
+                    np.float32(slot * self._slot_dur),
+                    self._ff, self._c2, self._n_sc, n_rx, n_tx,
+                    self.n_cells, self.n_ues,
+                )
+            else:
+                t = slot * self._slot_dur + self._sym_t
+                ft = xfer.asarray(time_phases(self._nu, t))
+                self._h_cache[slot] = _h_cross_slot_jit(
+                    ft, self._ff, self._c2, self._n_sc, n_rx, n_tx,
+                    self.n_cells, self.n_ues,
+                )
         return self._h_cache[slot]
 
 
@@ -354,11 +376,26 @@ class SyncNetworkRunner:
             ext = term if ext is None else _add_jit(ext, term)
         return ext
 
+    def _materialize_all(self, slot: int):
+        """All cells' due device results in ONE packed fetch (the relay's
+        ~27 ms per-fetch RTT would otherwise be paid once per cell per
+        slot; sim/cell.py _collect_due/_consume_due split exists for this)."""
+        from isac_tpu.sim.cell import _fetch_packed
+
+        per_cell = [sim._collect_due(slot) for sim in self.sims]
+        leaves = [x for _, ls in per_cell for x in ls]
+        host = iter(_fetch_packed(leaves))
+        for sim, (due, _) in zip(self.sims, per_cell):
+            if due:
+                sim._consume_due(slot, due, host)
+
     def run(self) -> list:
         self._build_banks()
         C = len(self.sims)
         for slot in range(self.num_slots):
-            infos = [sim._slot_begin(slot) for sim in self.sims]
+            self._materialize_all(slot)
+            infos = [sim._slot_begin(slot, skip_materialize=True)
+                     for sim in self.sims]
             # 1) every co-channel cell's DL tx grid first
             states = []
             for sim, info in zip(self.sims, infos):
