@@ -1,12 +1,17 @@
 """Benchmark harness — run on the ambient JAX backend (TPU under axon).
 
-Times the two hot paths at reference scale (100 MHz / 273 PRB @ SCS 30,
-+scenarios/openStreetMapCity.m:59-67):
-  (a) full PDSCH link chain (transport encode -> QAM -> PRG precode -> CDL
-      channel -> DM-RS estimate -> MMSE -> LDPC min-sum decode), batched over
-      4 links — reports decoded info bits/s and RE samples/s;
-  (b) mono-static sensing chain (echo synthesis -> OFDM demod -> windowed
-      2D-FFT RDM -> CA-CFAR) at nIFFT 4096 — reports RDMs/s.
+Stages, all at reference scale (100 MHz / 273 PRB @ SCS 30,
++scenarios/openStreetMapCity.m:59-67), each in its own subprocess:
+  pdsch    full PDSCH link chain (transport encode -> QAM -> PRG precode ->
+           CDL channel -> DM-RS estimate -> MMSE -> LDPC decode), 4 links —
+           decoded info bits/s + RE samples/s;
+  pdsch16  the same at 16 links (batch-scaling point);
+  sensing  mono-static sensing chain (echo -> OFDM demod -> windowed 2D-FFT
+           RDM -> CA-CFAR) at nIFFT 4096 — RDMs/s;
+  engine   the FULL closed-loop cell engine (traffic -> RLC -> MAC -> PHY ->
+           feedback -> sensing) — simulated slots/s + real-time factor;
+  network  lockstep 2-cell network with DL+UL co-channel interference —
+           cell-slots/s (capability the reference's parfeval pool lacks).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The reference publishes no benchmark numbers (BASELINE.md: published = {});
