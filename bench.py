@@ -78,7 +78,8 @@ def _fenced_scan(step_fn, xs, n_steps, consts=()):
             best = min(best, time.perf_counter() - t0)
         return best, v
 
-    n_small = max(2, n_steps // 4)
+    assert n_steps >= 2, "two-point slope needs at least 2 steps"
+    n_small = max(1, min(n_steps - 1, n_steps // 4))
     t_small, _ = timed(n_small)
     t_full, v = timed(n_steps)
     dt = max((t_full - t_small) / (n_steps - n_small), 1e-9)

@@ -142,6 +142,16 @@ def _cached_fdm_plan(slot: int, n_id: int, n_prb: int, n_ports: int, l0: int):
     return _csirs_fdm_est_plan(slot, n_id, n_prb, n_ports, l0)
 
 
+@lru_cache(maxsize=512)
+def _cached_fdm_plan_dev(slot: int, n_id: int, n_prb: int, n_ports: int,
+                         l0: int):
+    """Device-resident plan: the complex reference planes are uploaded ONCE
+    per (slot, n_id, ...) key instead of paying the complex-H2D shim on every
+    estimate call (r4 advisor finding)."""
+    sym, sc, refs_conj = _cached_fdm_plan(slot, n_id, n_prb, n_ports, l0)
+    return sym, sc, xfer.asarray(refs_conj)
+
+
 def csirs_estimate_fdm(
     rx_grid, slot: int, n_id: int, n_prb: int, n_ports: int, l0: int = 5,
     ue_index: int | None = None,
@@ -151,8 +161,7 @@ def csirs_estimate_fdm(
     One jitted gather over every port. `ue_index` selects a leading batch
     entry INSIDE the program (rx_grid is then [n_ues, n_rx, 14, K]) so no
     eager slice ever runs."""
-    sym, sc, refs_conj = _cached_fdm_plan(slot, n_id, n_prb, n_ports, l0)
-    refs_conj = xfer.asarray(refs_conj)  # complex H2D routed around the relay
+    sym, sc, refs_conj = _cached_fdm_plan_dev(slot, n_id, n_prb, n_ports, l0)
     if ue_index is None:
         return _fdm_est_jit(rx_grid, sym, sc, refs_conj)
     return _fdm_est_idx_jit(rx_grid, np.int32(ue_index), sym, sc, refs_conj)
@@ -174,6 +183,14 @@ def _row5_est_plan(slot: int, n_id: int, n_prb: int, k0: int, l0: int,
         for li in (0, 1)
     ])  # [2, n_prb, 2]
     return base, refs
+
+
+@lru_cache(maxsize=512)
+def _row5_est_plan_dev(slot: int, n_id: int, n_prb: int, k0: int, l0: int,
+                       prb_start: int):
+    """Device-resident row-5 plan (one complex upload per key, not per call)."""
+    base, refs = _row5_est_plan(slot, n_id, n_prb, k0, l0, prb_start)
+    return base, xfer.asarray(refs)
 
 
 @jax.jit
@@ -215,8 +232,7 @@ def csirs_estimate_ports(
         raise NotImplementedError("estimation implemented for row 5 (the reference default)")
     if l0 != 5:
         raise NotImplementedError("jitted row-5 estimator assumes l0=5")
-    base, refs = _row5_est_plan(slot, n_id, n_prb, k0, l0, prb_start)
-    refs = xfer.asarray(refs)  # complex H2D routed around the relay
+    base, refs = _row5_est_plan_dev(slot, n_id, n_prb, k0, l0, prb_start)
     prbs = np.arange(prb_start, prb_start + n_prb)
     if ue_index is None:
         return _row5_est_jit(rx_grid, base, refs), prbs

@@ -48,7 +48,16 @@ from isac_tpu.topology.osm import build_city
 from isac_tpu.utils.geometry import BOLTZMANN, db2pow
 
 
-def resolve_los(cells: list, sim: SimulationParameters):
+def resolve_los(cells: list, sim: SimulationParameters) -> list:
+    """Compat wrapper keeping the documented r2/r3 API: returns the cell list
+    only (LoS booleans resolved in place). Cross-cell LoS pairs are available
+    via resolve_los_cross (r4 advisor finding: the tuple return was a silent
+    breaking change)."""
+    cells, _ = resolve_los_cross(cells, sim)
+    return cells
+
+
+def resolve_los_cross(cells: list, sim: SimulationParameters):
     """Build the city (once, from the first cell's CityParams) and compute LoS
     booleans per UE/target link (networkSimulation.m generateScenario:79-115,
     plotLoS:117-171) AND per cross-cell UE–gNB pair (openStreetMapCity.m:67-94
@@ -179,7 +188,7 @@ class _CrossBank:
                         dst.cdl.delay_profile if los[u] else "CDL-A",
                         dst.cdl.delay_spread_ns, src.gnb.dl_carrier_freq,
                         src_sim.gnb_elems, dst_sim.ue_elems,
-                        ue_velocity=ue_speed, seed=seed * 7919 + s * 127 + u,
+                        ue_velocity=ue_speed, seed=seed * 7919 + s * 100003 + u,
                     )
                 )
             # amplitude: src tx power per RE through src->UE pathloss, vs the
@@ -473,7 +482,7 @@ def network_simulation(
     analogue, networkSimulation.m:44-61)."""
     sim.validate()
     cells = assign_cell_parameters(sim)
-    cells, cross_los = resolve_los(cells, sim)
+    cells, cross_los = resolve_los_cross(cells, sim)
 
     if interference and len(cells) > 1 and _has_cochannel(cells):
         results = SyncNetworkRunner(
