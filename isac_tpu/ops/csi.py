@@ -100,8 +100,15 @@ def ri_select(h: jnp.ndarray, nvar: float, max_rank: int = 4) -> jnp.ndarray:
             e2 = jnp.maximum(tr / 2.0 - disc, 0.0)
             s = jnp.sqrt(jnp.stack([e1, e2], axis=-1))  # descending
     else:
-        s = jnp.linalg.svd(h, compute_uv=False)  # [n_re, min(rx,tx)] descending
-    max_rank = min(max_rank, s.shape[-1])
+        # n_rx > 2: eigenvalues of the rx-side Gram (Hermitian 3x3/4x4) are
+        # the squared singular values. jnp.linalg.eigvalsh executes on the
+        # axon relay when its input is built on device (RELAY_NOTES r4 probe
+        # matrix — unlike the SVD custom call) and is the better TPU
+        # formulation regardless (tiny-batch SVD wastes the VPU).
+        g = jnp.einsum("...rt,...st->...rs", h, jnp.conj(h))
+        ev = jnp.linalg.eigvalsh(g)  # ascending, real
+        s = jnp.sqrt(jnp.maximum(ev[..., ::-1], 0.0))  # descending
+    max_rank = min(max_rank, h.shape[-1], h.shape[-2])
     caps = []
     for r in range(1, max_rank + 1):
         # equal power split across r layers
