@@ -167,12 +167,16 @@ def plot_rdm(sensing: dict, path: str):
     plt = _mpl()
 
     est, params = sensing["estimates"], sensing["params"]
+
+    def _p(name):  # live RadarDerived object OR persist-replayed plain dict
+        return params[name] if isinstance(params, dict) else getattr(params, name)
+
     rdm = np.asarray(est["rdm"])  # [n_ants, R, C]
     power = np.abs(rdm).max(axis=0) ** 2
     pdb = 10 * np.log10(np.maximum(power, power.max() * 1e-12))
     n_r, n_c = pdb.shape
-    rng_axis = (np.arange(n_r) * params.r_res,)[0]
-    vel_axis = (np.arange(n_c) - n_c // 2) * params.v_res
+    rng_axis = (np.arange(n_r) * _p("r_res"),)[0]
+    vel_axis = (np.arange(n_c) - n_c // 2) * _p("v_res")
     # est['rdm'] is already Doppler-centered (rdm.py range_doppler_map applies
     # the fftshift), matching the velEst/truth axis convention (cfar.py) and
     # the reference's centered plot (fft2D.m:160) — plot it directly.
@@ -188,7 +192,7 @@ def plot_rdm(sensing: dict, path: str):
         ax.scatter(np.asarray(est["velEst"])[valid], np.asarray(est["rngEst"])[valid],
                    s=70, facecolors="none", edgecolors=PALETTE[1], linewidths=2,
                    label="CFAR detection")
-    ax.scatter(params.velocity_ms, params.range_m, s=60, marker="x",
+    ax.scatter(_p("velocity_ms"), _p("range_m"), s=60, marker="x",
                color=_INK, linewidths=2, label="truth")
     _style(ax, "range-Doppler map (dB)", "radial velocity (m/s)", "range (m)")
     ax.legend(fontsize=7, loc="upper right")
@@ -228,9 +232,17 @@ def plot_scenario(cells: list, path: str, walls: np.ndarray | None = None):
     plt.close(fig)
 
 
-def save_all(result: dict, prefix: str) -> list:
+def save_all(result: dict | str, prefix: str) -> list:
     """One call after CellSimulator.run(): write every applicable figure,
-    return the paths (postSimVisualization.m equivalent)."""
+    return the paths (postSimVisualization.m equivalent).
+
+    `result` may also be a path to a metrics.persist.save_result() file —
+    offline replay, exactly the reference's saved-MAT-then-postSimVisualization
+    flow (cellSimulation.m:204-277 -> postSimVisualization.m:1-60)."""
+    if isinstance(result, str):
+        from isac_tpu.metrics.persist import load_result
+
+        result = load_result(result)
     out = []
 
     def emit(fn, *a):

