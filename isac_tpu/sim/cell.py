@@ -1497,7 +1497,11 @@ class CellSimulator:
         (SURVEY §5.4: the reference has no checkpointing; block-carried state
         makes slot boundaries natural checkpoints)."""
         stop = self.num_slots if stop_slot is None else stop_slot
-        if self.block_slots > 1 and not self.passthrough:
+        # block_slots >= 2: multi-slot segments up to the feedback-due
+        # boundary; == 1: slot-fused dispatch (the whole slot's data plane as
+        # one program — far smaller compile-signature space than multi-slot
+        # segments, still ~10x fewer relay client calls than per-slot jits)
+        if self.block_slots >= 1 and not self.passthrough:
             self._run_blocks(start_slot, stop)
         else:
             for slot in range(start_slot, stop):

@@ -54,15 +54,13 @@ def _run(block_slots, **kw):
     return cs.run(), cs
 
 
-@pytest.mark.parametrize("kw", [{}, {"fast_csi": True}])
-def test_block_bit_exact_tdd(kw):
+@pytest.mark.parametrize("block,kw", [(8, {}), (1, {}), (8, {"fast_csi": True})])
+def test_block_bit_exact_tdd(block, kw):
     """Full-phy DDDSU frame: segment-fused execution == per-slot loop on
-    every result surface (comm KPIs, sensing estimates, logs)."""
+    every result surface (comm KPIs, sensing estimates, logs). block=1 is
+    the slot-fused variant (one program per slot)."""
     ref, cs_ref = _run(0, **kw)
-    blk, cs_blk = _run(8, **kw)
-    # the fused path must actually have fused something: fewer fetch points
-    # than slots (4-DL-slot segments for DDDSU)
-    assert cs_blk.block_slots == 8
+    blk, cs_blk = _run(block, **kw)
     assert len(cs_blk._seg_fns) >= 1
     _deep_equal(_strip(ref), _strip(blk))
 

@@ -481,3 +481,31 @@ def test_fdd_ul_cross_interference():
     bler_iso = np.mean([r["communication"]["ueULBLER"].mean() for r in res_iso])
     assert bler_victim > 0.5, bler_victim
     assert bler_iso < 0.1, bler_iso
+
+
+def test_throughput_efficiency_gate():
+    """VERDICT r4 #9: bound achieved spectral efficiency from BELOW so the
+    conservative OLLA/CQI loop can't silently leave rate on the table. A
+    saturated single link at high SNR must deliver >= 60% of the TR 37.910
+    peak SE over its occupied bandwidth (metricsVisualizer.m:627-674 KPI
+    surface; measured ~84% at the 64 dB operating point)."""
+    import numpy as np
+
+    from isac_tpu.config.params import TrafficParams
+
+    sim = single_link(SimulationParameters())
+    sim.traffic["cell1"] = TrafficParams(
+        dl_app_data_rate_kbps=500e3, ul_app_data_rate_kbps=100e3)
+    cells = assign_cell_parameters(sim)
+    cs = CellSimulator(cells[0], n_rb_override=51, nfft_override=1024,
+                       enable_sensing=False)
+    res = cs.run()
+    c = res["communication"]
+    snr = float(cs.amp_dl[0]) ** 2
+    occ_bw = cs.n_rb * 12 * cs.cell.gnb.scs_khz * 1e3
+    se = c["ueDLGoodputMbps"][0] * 1e6 / occ_bw
+    dl_ratio = cs.tdd.dl_ratio()
+    cap_mimo = dl_ratio * 2 * np.log2(1 + snr / 2)  # 2-layer capacity bound
+    bound = min(c["peakSEDL"], cap_mimo)
+    assert se >= 0.6 * bound, (se, bound, c["ueDLGoodputMbps"])
+    assert c["ueDLBLER"][0] <= 0.1 + 1e-9
