@@ -271,7 +271,12 @@ def bench_engine(n_rb=51, nfft=1024, block=8, repeats=3, prefix="engine"):
         sim = open_street_map_city(SimulationParameters())
         cells = assign_cell_parameters(sim)
         kw = dict(n_rb_override=n_rb, nfft_override=nfft, block_slots=block)
-        CellSimulator(cells[0], **kw).run()  # compile + warm (real run)
+        # warm EVERY timed seed once: per-seed traffic realizations hit
+        # different grant/segment signatures, and a compile inside a timed
+        # frame would corrupt the median (compiled programs are shared
+        # module-level, so the second pass is compile-free)
+        for rep in range(repeats):
+            CellSimulator(cells[0], seed=1 + rep, **kw).run()
         dts = []
         num_slots = slot_s = n_ues = 0
         for rep in range(repeats):
@@ -324,7 +329,8 @@ def bench_network(n_rb=51, nfft=1024, repeats=3, prefix="network"):
         sim.validate()
         cells = assign_cell_parameters(sim)
         kw = dict(n_rb_override=n_rb, nfft_override=nfft, enable_sensing=False)
-        SyncNetworkRunner(cells, **kw).run()  # compile + warm
+        for rep in range(repeats):  # warm every timed seed (see bench_engine)
+            SyncNetworkRunner(cells, seed=1 + rep, **kw).run()
         dts = []
         num_slots = 0
         for rep in range(repeats):

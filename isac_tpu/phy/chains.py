@@ -180,19 +180,33 @@ def grant_tbs(grant: SCHGrant) -> int:
     return _layout(grant.layout_key())[ "tbs"]
 
 
-def _scrambling_seq(grant: SCHGrant, g: int) -> np.ndarray:
-    if grant.direction == "DL":
-        cinit = pdsch_scrambling_cinit(grant.rnti, 0, grant.n_id)
+@lru_cache(maxsize=4096)
+def _scrambling_seq_cached(direction: str, rnti: int, n_id: int, g: int) -> np.ndarray:
+    if direction == "DL":
+        cinit = pdsch_scrambling_cinit(rnti, 0, n_id)
     else:
-        cinit = pusch_scrambling_cinit(grant.rnti, grant.n_id)
+        cinit = pusch_scrambling_cinit(rnti, n_id)
     return gold_sequence(cinit, g)
 
 
-def _dmrs_refs(grant: SCHGrant, dsyms: tuple) -> np.ndarray:
-    """Base DM-RS sequence values over the allocation [n_dsym, 6*n_prb]."""
+def _scrambling_seq(grant: SCHGrant, g: int) -> np.ndarray:
+    """Per-(rnti, n_id, g) Gold sequence — slot-independent (38.211 §7.3.1.1
+    c_init), so the host LFSR runs once per UE, not once per slot."""
+    return _scrambling_seq_cached(grant.direction, grant.rnti, grant.n_id, g)
+
+
+@lru_cache(maxsize=4096)
+def _dmrs_refs_cached(slot: int, n_id: int, prbs: tuple, dsyms: tuple) -> np.ndarray:
     return np.stack(
-        [dmrs_values_for_prbs(grant.slot, int(l), grant.n_id, grant.prbs) for l in dsyms]
+        [dmrs_values_for_prbs(slot, int(l), n_id, prbs) for l in dsyms]
     ).astype(np.complex64)
+
+
+def _dmrs_refs(grant: SCHGrant, dsyms: tuple) -> np.ndarray:
+    """Base DM-RS sequence values over the allocation [n_dsym, 6*n_prb]
+    (cached per frame-slot/allocation — the engine revisits the same 20
+    frame slots every frame)."""
+    return _dmrs_refs_cached(grant.slot, grant.n_id, grant.prbs, dsyms)
 
 
 def layer_map(d: jnp.ndarray, n_layers: int) -> jnp.ndarray:

@@ -385,6 +385,26 @@ def _build_seg_fn(sim, skel: tuple):
 # --------------------------------------------------------------- dispatch
 
 
+def _sim_config_key(sim) -> tuple:
+    """Everything _build_seg_fn's closures read from the sim instance. Two
+    sims with equal keys compile to identical programs, so the MODULE-level
+    cache below shares compiled segments across CellSimulator instances —
+    without it every bench repeat / network cell re-jitted every segment
+    (the per-slot path's kernels are module-level lru_caches for the same
+    reason)."""
+    gnb = sim.cell.gnb
+    return (
+        sim.n_rb, sim.n_sc, sim.n_tx, sim.n_ue_ants, sim.n_ues,
+        sim.n_ldpc_iter, sim._h_dev_path, sim.fast_csi, sim.csirs_row5,
+        sim.enable_sensing, sim.info.nfft, gnb.tx_power_dbm, gnb.cell_id,
+        sim._bl["DL"]["shape"], sim._bl["UL"]["shape"],
+        sim.scheduler.max_rank, sim.n1, sim.n2,
+    )
+
+
+_SEG_CACHE: dict = {}
+
+
 def dispatch_segment(sim, plans: list):
     """Execute one planned segment: build/reuse the fused program, run it
     once, and wire the device outputs into the engine's deferred-feedback and
@@ -394,10 +414,14 @@ def dispatch_segment(sim, plans: list):
     skel = _seg_skel(sim, plans)
     if all(_skel_empty(sk) for sk in skel):
         return
-    fn = sim._seg_fns.get(skel)
+    key = (_sim_config_key(sim), skel)
+    fn = _SEG_CACHE.get(key)
     if fn is None:
         fn = _build_seg_fn(sim, skel)
-        sim._seg_fns[skel] = fn
+        if len(_SEG_CACHE) > 512:
+            _SEG_CACHE.clear()
+        _SEG_CACHE[key] = fn
+    sim._seg_fns[skel] = fn  # per-instance view (tests introspect it)
     chan = {d: (sim._bl[d]["ff"], sim._bl[d]["c2"], sim._bl[d]["nu_dev"],
                 sim._sym_t_dev) for d in ("DL", "UL")}
     slots = tuple(_slot_args(sim, p, sk) for p, sk in zip(plans, skel))

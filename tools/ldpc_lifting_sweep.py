@@ -71,10 +71,14 @@ def gen_alt_tables(seed: int) -> dict:
     return data
 
 
-def bler_curve_subprocess(tables_path: str | None) -> dict:
+def bler_curve_subprocess(tables_path: str | None, cfg: dict) -> dict:
     """Run the sweep worker in its own process (clean lru caches + env)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["ISAC_SWEEP_BG"] = str(cfg["bg"])
+    env["ISAC_SWEEP_Z"] = str(cfg["z"])
+    env["ISAC_SWEEP_TXFRAC"] = str(cfg.get("txfrac", 1.0))
+    env["ISAC_SWEEP_SNRS"] = json.dumps(cfg["snrs"])
     if tables_path:
         env["ISAC_TPU_LDPC_TABLES"] = tables_path
     else:
@@ -96,7 +100,11 @@ def worker():
 
     from isac_tpu.ops import ldpc
 
-    code = ldpc.lifted_code(BG, Z)
+    bg = int(os.environ.get("ISAC_SWEEP_BG", BG))
+    z = int(os.environ.get("ISAC_SWEEP_Z", Z))
+    txfrac = float(os.environ.get("ISAC_SWEEP_TXFRAC", 1.0))
+    snrs = json.loads(os.environ.get("ISAC_SWEEP_SNRS", json.dumps(SNRS_DB)))
+    code = ldpc.lifted_code(bg, z)
     rng = np.random.default_rng(12345)  # same noise/messages for every lifting
     msg = rng.integers(0, 2, (N_CW, code.k)).astype(np.int8)
     cw = np.asarray(ldpc.encode(code, jnp.asarray(msg))).astype(np.float32)
@@ -104,17 +112,22 @@ def worker():
     enc_crc = zlib.crc32(np.packbits(cw[:8].astype(np.uint8)).tobytes())
     bpsk = 1.0 - 2.0 * cw  # [N_CW, n_full]
     noise = rng.standard_normal(bpsk.shape).astype(np.float32)
+    n_tx = int(round(code.n_full * txfrac))
     blers = {}
-    for snr_db in SNRS_DB:
+    for snr_db in snrs:
         sigma = float(10 ** (-snr_db / 20.0))  # real BPSK: SNR = 1/sigma^2
         y = bpsk + sigma * noise
         llr = (2.0 * y / (sigma * sigma)).astype(np.float32)
-        llr[:, : 2 * Z] = 0.0  # punctured systematic columns (38.212)
-        hard, ok = ldpc.decode(jnp.asarray(llr), BG, Z, n_iter=N_ITER)
+        llr[:, : 2 * z] = 0.0  # punctured systematic columns (38.212)
+        if n_tx < code.n_full:
+            # higher-rate operating point: tail never transmitted (§5.4.2.1
+            # circular-buffer start at rv0 — the first n_tx coded bits)
+            llr[:, n_tx:] = 0.0
+        hard, ok = ldpc.decode(jnp.asarray(llr), bg, z, n_iter=N_ITER)
         bit_ok = np.all(np.asarray(hard) == msg, axis=-1)
         blers[str(snr_db)] = float(1.0 - np.mean(bit_ok & np.asarray(ok)))
     print(json.dumps({"bler": blers, "encode_crc32": enc_crc,
-                      "k": code.k, "n": code.n_full}))
+                      "k": code.k, "n": code.n_full, "n_tx": n_tx}))
 
 
 def crossing(snrs, blers, target=0.1):
@@ -129,6 +142,18 @@ def crossing(snrs, blers, target=0.1):
     return None
 
 
+# (suffix, config): the r3/r4 single point (BG1 Z=64 rate-1/3) plus the r4
+# VERDICT #10 extensions — BG2 and a second (punctured, rate-2/3) operating
+# point of BG1, certifying the substitution bound beyond one code point.
+CONFIGS = [
+    ("", dict(bg=1, z=64, txfrac=1.0, snrs=SNRS_DB)),
+    ("_bg2", dict(bg=2, z=64, txfrac=1.0,
+                  snrs=[-3.2, -3.0, -2.8, -2.6, -2.4, -2.2, -2.0])),
+    ("_r23", dict(bg=1, z=64, txfrac=0.5,  # 33z tx -> ~rate 2/3 punctured
+                  snrs=[3.6, 3.8, 4.0, 4.2, 4.4, 4.6, 4.8])),
+]
+
+
 def main():
     if "--worker" in sys.argv:
         worker()
@@ -141,25 +166,31 @@ def main():
             print(f"generating alternate lifting {a + 1}...", flush=True)
             path.write_text(json.dumps(gen_alt_tables(seed=1000 + a)))
         runs[f"alt{a + 1}"] = str(path)
-    out = {"bg": BG, "z": Z, "n_cw": N_CW, "n_iter": N_ITER,
-           "snrs_db": SNRS_DB, "liftings": {}}
-    for name, path in runs.items():
-        print(f"sweeping {name}...", flush=True)
-        r = bler_curve_subprocess(path)
-        blers = [r["bler"][str(s)] for s in SNRS_DB]
-        out["liftings"][name] = {
-            "bler": blers,
-            "encode_crc32": r["encode_crc32"],
-            "snr_at_bler_0p1": crossing(SNRS_DB, blers),
-        }
-        print(f"  {name}: BLER {blers} crossing "
-              f"{out['liftings'][name]['snr_at_bler_0p1']}", flush=True)
-    xs = [v["snr_at_bler_0p1"] for v in out["liftings"].values()
-          if v["snr_at_bler_0p1"] is not None]
-    out["crossing_spread_db"] = (max(xs) - min(xs)) if len(xs) >= 2 else None
-    (GOLDEN / "ldpc_lifting_sweep.json").write_text(json.dumps(out, indent=1))
-    print(f"spread @ BLER 0.1: {out['crossing_spread_db']} dB "
-          f"({len(xs)} liftings)")
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    for suffix, cfg in CONFIGS:
+        if only and (suffix or "base") not in only:
+            continue
+        out = {"bg": cfg["bg"], "z": cfg["z"], "n_cw": N_CW, "n_iter": N_ITER,
+               "txfrac": cfg.get("txfrac", 1.0), "snrs_db": cfg["snrs"],
+               "liftings": {}}
+        for name, path in runs.items():
+            print(f"sweeping{suffix or ''} {name}...", flush=True)
+            r = bler_curve_subprocess(path, cfg)
+            blers = [r["bler"][str(s)] for s in cfg["snrs"]]
+            out["liftings"][name] = {
+                "bler": blers,
+                "encode_crc32": r["encode_crc32"],
+                "snr_at_bler_0p1": crossing(cfg["snrs"], blers),
+            }
+            print(f"  {name}: BLER {blers} crossing "
+                  f"{out['liftings'][name]['snr_at_bler_0p1']}", flush=True)
+        xs = [v["snr_at_bler_0p1"] for v in out["liftings"].values()
+              if v["snr_at_bler_0p1"] is not None]
+        out["crossing_spread_db"] = (max(xs) - min(xs)) if len(xs) >= 2 else None
+        (GOLDEN / f"ldpc_lifting_sweep{suffix}.json").write_text(
+            json.dumps(out, indent=1))
+        print(f"spread{suffix} @ BLER 0.1: {out['crossing_spread_db']} dB "
+              f"({len(xs)} liftings)")
 
 
 if __name__ == "__main__":
