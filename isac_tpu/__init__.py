@@ -45,11 +45,20 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
-        # XLA's CPU AOT loader logs a false-positive machine-feature mismatch
-        # for every cached executable (+prefer-no-scatter is a compile-time
-        # pseudo-feature, never a host feature); results are verified
-        # identical. Silence the C++ log unless the user overrides.
         os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+        # TPU-ONLY, like utils/compcache.py: XLA:CPU persists AOT machine
+        # code keyed WITHOUT host CPU features, so a cache written on one
+        # machine SEGFAULTS inside compilation_cache.get_executable_and_time
+        # when deserialized on another (observed r5: the r4-written
+        # ~/.cache/isac_tpu_xla entries crashed the CPU test suite on a new
+        # host — cpu_aot_loader had warned "could lead to ... SIGILL").
+        # Checked WITHOUT jax.default_backend(): that would initialize the
+        # backend at import time and break jax.distributed.initialize() in
+        # multi-process workers (tools/mp_worker.py).
+        plats = str(jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS", ""))
+        if not any(p in ("tpu", "axon") for p in plats.split(",")):
+            return
         if jax.config.jax_compilation_cache_dir is None:
             path = os.path.join(
                 os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),

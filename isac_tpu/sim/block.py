@@ -428,6 +428,11 @@ def dispatch_segment(sim, plans: list):
     outs = fn(chan, np.asarray(sim.amp_dl, np.float32), slots)
     for p, sk, res in zip(plans, skel, outs):
         _wire(sim, p, sk, res)
+    # async-pack the upcoming boundary fetches (one RTT at the boundary
+    # instead of pack+fetch; sim/cell.py prepack_due)
+    from isac_tpu.sim.cell import prepack_due
+
+    prepack_due(sim)
 
 
 def _wire(sim, p: dict, sk: tuple, res: dict):

@@ -526,9 +526,10 @@ class SyncNetworkRunner:
         from isac_tpu.sim.cell import _fetch_packed
 
         per_cell = [sim._collect_due(slot) for sim in self.sims]
-        leaves = [x for _, ls in per_cell for x in ls]
-        host = iter(_fetch_packed(leaves))
-        for sim, (due, _) in zip(self.sims, per_cell):
+        leaves = [x for _, ls, _ in per_cell for x in ls]
+        flags = [f for _, _, fs in per_cell for f in fs]
+        host = iter(_fetch_packed(leaves, flags))
+        for sim, (due, _, _) in zip(self.sims, per_cell):
             if due:
                 sim._consume_due(slot, due, host)
 

@@ -18,3 +18,35 @@ import jax  # noqa: E402
 # this conftest runs; override at the config level (env vars alone are too late).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+_HEAVY_MODULES = ("test_block",)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules(request):
+    """Drop compiled executables + live buffers after the heaviest modules.
+
+    The suite compiles hundreds of XLA:CPU programs; test_block's fused
+    whole-segment programs are by far the largest, and letting them
+    accumulate in one process crashed later modules' compiles (r5: flaky
+    SIGSEGV/MemoryError in test_e2e when run AFTER test_block, each module
+    green in isolation — native heap damage in XLA:CPU under that load).
+    Clearing after the heavy modules keeps the process bounded without
+    paying cross-module recompiles everywhere."""
+    yield
+    if not any(m in request.module.__name__ for m in _HEAVY_MODULES):
+        return
+    from isac_tpu.sim import block as _blk
+
+    _blk._SEG_CACHE.clear()
+    from isac_tpu.sim import cell as _cell
+
+    _cell._SENSING_FNS.clear()
+    jax.clear_caches()
+    gc.collect()
