@@ -495,8 +495,12 @@ def main():
               # reference-scale closed loop (VERDICT r4 #2): the flagship
               # engine at openStreetMapCity.m's own operating point —
               # 273 PRB / nFFT 4096 / 5 UEs / DDDSU
+              # block=1 (slot-fused): the multi-slot segment programs at 273
+              # PRB have a large compile-signature space; slot fusion keeps
+              # first-run compiles inside the stage timeout
               "engine273": lambda: bench_engine(
-                  n_rb=273, nfft=4096, repeats=2, prefix="engine273"),
+                  n_rb=273, nfft=4096, repeats=2, block=1,
+                  prefix="engine273"),
               "network273": lambda: bench_network(
                   n_rb=273, nfft=4096, repeats=2, prefix="network273"),
               "pdsch16": lambda: {
