@@ -121,6 +121,38 @@ def _axis_levels(qm: int):
     return (lvl * _QAM_SCALE[qm]).astype(np.float32), bits.astype(np.float32)
 
 
+def _tpu_exec() -> bool:
+    import jax
+
+    dd = jax.config.jax_default_device
+    return (dd.platform if dd is not None else jax.default_backend()) == "tpu"
+
+
+def _gray_axis_llr_closed(t: jnp.ndarray, m: int) -> jnp.ndarray:
+    """EXACT max-log LLRs for one Gray-PAM axis in closed form.
+
+    t: observation in UNSCALED level units (levels are the odd integers
+    +-1..+-(2^m-1)); returns [..., m], positive for bit 0. Per stage the
+    sign-bit max-log value is (t+1)^2 - (t-p)^2 with p the nearest positive
+    odd level = clip(2*floor(|t|/2)+1, 1, 2D-1), extended by odd symmetry;
+    the Gray fold t <- D - |t| recurses to the next bit. Pure elementwise
+    floor/clip/multiply — no [., 2^(m/2)] distance tensor, no masked mins —
+    and EQUAL to the masked-min form (test_modulation closed-form test)."""
+    outs = []
+    d = float(1 << (m - 1))
+    for _ in range(m):
+        a = jnp.abs(t)
+        if d == 1.0:
+            outs.append(4.0 * t)  # single level +-1: (t+1)^2-(t-1)^2
+        else:
+            p = jnp.clip(2.0 * jnp.floor(a / 2.0) + 1.0, 1.0, 2.0 * d - 1.0)
+            lmag = 2.0 * a * (1.0 + p) + 1.0 - p * p
+            outs.append(jnp.sign(t) * lmag)
+        t = d - a
+        d /= 2.0
+    return jnp.stack(outs, axis=-1)
+
+
 def demodulate_llr(
     symbols: jnp.ndarray, noise_var: jnp.ndarray | float, mod: str
 ) -> jnp.ndarray:
@@ -138,6 +170,17 @@ def demodulate_llr(
         pts = jnp.asarray(constellation(mod), dtype=jnp.complex64)
         d2 = jnp.abs(symbols[..., None] - pts) ** 2
         llr = (d2[..., 1] - d2[..., 0])[..., None]  # label 1 minus label 0
+    elif _tpu_exec():
+        # closed-form Gray fold (identical max-log values; r5 TPU profile —
+        # the [., 2^(Qm/2)] distance tensor + masked mins were the demod
+        # cost). Trace-time backend branch; CPU keeps the masked-min form
+        # so golden traces stay bit-identical there.
+        m = qm // 2
+        a = np.float32(_QAM_SCALE[qm])
+        li = _gray_axis_llr_closed(symbols.real / a, m) * (a * a)
+        lq = _gray_axis_llr_closed(symbols.imag / a, m) * (a * a)
+        llr = jnp.stack([li, lq], axis=-1)  # [..., n, m, 2(I/Q)]
+        llr = llr.reshape(*symbols.shape, qm)  # bit order b0(I),b1(Q),b2(I)..
     else:
         levels, labels = _axis_levels(qm)
         lv = jnp.asarray(levels)

@@ -111,3 +111,43 @@ def test_modulate_scramble_fold_equivalence():
         a = np.asarray(modulate(jnp.asarray(bits ^ c), mod))
         b = np.asarray(modulate(jnp.asarray(bits), mod, scramble=jnp.asarray(c)))
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_closed_form_gray_llr_equals_joint_maxlog():
+    """The TPU-branch closed-form Gray fold (_gray_axis_llr_closed) must
+    produce EXACTLY the joint-constellation max-log LLRs for every square
+    QAM (r5: it replaces the [., 2^(Qm/2)] masked-min distance form on TPU;
+    this pins the algebra: L_sign = (t+1)^2-(t-p)^2, Gray fold t <- D-|t|)."""
+    import numpy as np
+
+    from isac_tpu.ops.modulation import (
+        MODULATION_ORDERS,
+        _QAM_SCALE,
+        _gray_axis_llr_closed,
+        constellation,
+    )
+
+    rng = np.random.default_rng(5)
+    for mod in ("QPSK", "16QAM", "64QAM", "256QAM"):
+        qm = MODULATION_ORDERS[mod]
+        a = _QAM_SCALE[qm]
+        m = qm // 2
+        # cover interior, boundaries, and far outside the constellation
+        y = np.concatenate([
+            rng.uniform(-1.2 * (2 ** m) * a, 1.2 * (2 ** m) * a, 4000),
+            np.arange(-(2 ** m) - 2, (2 ** m) + 2 + 1) * a,  # exact levels
+        ]).astype(np.float32)
+        sym = (y + 1j * rng.permutation(y)).astype(np.complex64)
+        pts = constellation(mod).astype(np.complex128)
+        labels = (np.arange(1 << qm)[:, None] >> (qm - 1 - np.arange(qm))) & 1
+        d2 = np.abs(sym[:, None].astype(np.complex128) - pts[None, :]) ** 2
+        ref = np.stack([
+            np.min(np.where(labels[:, b] == 1, d2, np.inf), axis=1)
+            - np.min(np.where(labels[:, b] == 0, d2, np.inf), axis=1)
+            for b in range(qm)
+        ], axis=-1)
+        li = np.asarray(_gray_axis_llr_closed(jnp.asarray(sym.real / a), m)) * a * a
+        lq = np.asarray(_gray_axis_llr_closed(jnp.asarray(sym.imag / a), m)) * a * a
+        got = np.stack([li, lq], axis=-1).reshape(len(sym), qm)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=mod)
