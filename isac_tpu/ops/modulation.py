@@ -121,13 +121,6 @@ def _axis_levels(qm: int):
     return (lvl * _QAM_SCALE[qm]).astype(np.float32), bits.astype(np.float32)
 
 
-def _tpu_exec() -> bool:
-    import jax
-
-    dd = jax.config.jax_default_device
-    return (dd.platform if dd is not None else jax.default_backend()) == "tpu"
-
-
 def _gray_axis_llr_closed(t: jnp.ndarray, m: int) -> jnp.ndarray:
     """EXACT max-log LLRs for one Gray-PAM axis in closed form.
 
@@ -137,7 +130,12 @@ def _gray_axis_llr_closed(t: jnp.ndarray, m: int) -> jnp.ndarray:
     odd level = clip(2*floor(|t|/2)+1, 1, 2D-1), extended by odd symmetry;
     the Gray fold t <- D - |t| recurses to the next bit. Pure elementwise
     floor/clip/multiply — no [., 2^(m/2)] distance tensor, no masked mins —
-    and EQUAL to the masked-min form (test_modulation closed-form test)."""
+    and EQUAL to the masked-min form (test_modulation closed-form test).
+
+    Evaluated as a TPU replacement for demodulate_llr's masked-min form in
+    r5 and REJECTED on measurement: the floor/sign/clip chains lowered
+    SLOWER than the distance-tensor mins on the relay (pdsch 243 -> 198
+    Mbps). Kept as the documented reference algebra + exactness test."""
     outs = []
     d = float(1 << (m - 1))
     for _ in range(m):
@@ -170,17 +168,6 @@ def demodulate_llr(
         pts = jnp.asarray(constellation(mod), dtype=jnp.complex64)
         d2 = jnp.abs(symbols[..., None] - pts) ** 2
         llr = (d2[..., 1] - d2[..., 0])[..., None]  # label 1 minus label 0
-    elif _tpu_exec():
-        # closed-form Gray fold (identical max-log values; r5 TPU profile —
-        # the [., 2^(Qm/2)] distance tensor + masked mins were the demod
-        # cost). Trace-time backend branch; CPU keeps the masked-min form
-        # so golden traces stay bit-identical there.
-        m = qm // 2
-        a = np.float32(_QAM_SCALE[qm])
-        li = _gray_axis_llr_closed(symbols.real / a, m) * (a * a)
-        lq = _gray_axis_llr_closed(symbols.imag / a, m) * (a * a)
-        llr = jnp.stack([li, lq], axis=-1)  # [..., n, m, 2(I/Q)]
-        llr = llr.reshape(*symbols.shape, qm)  # bit order b0(I),b1(Q),b2(I)..
     else:
         levels, labels = _axis_levels(qm)
         lv = jnp.asarray(levels)
