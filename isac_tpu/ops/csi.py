@@ -17,7 +17,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from isac_tpu.ops.precoding import pusch_codebook, type1_codebook
+from isac_tpu.ops.precoding import (
+    pusch_codebook,
+    type1_codebook,
+    type1_multipanel_codebook,
+)
 
 # SINR (dB) thresholds for CQI 1..15 at BLER 0.1 (setupSINRtoCQIMappingTable.m:7-11)
 SINR_TO_CQI_DL = np.array(
@@ -124,12 +128,25 @@ def dl_pmi_select(
     n1: int,
     n2: int,
     subband_of_re: np.ndarray | None = None,  # [n_re] subband id (None = wideband)
+    ng: int = 1,
+    codebook_mode: int = 1,
 ):
     """Type-1 codebook search maximizing sum capacity (dlPMISelect.m analogue).
 
+    ng > 1 searches the multi-panel codebook (TS 38.214 §5.2.2.2.2,
+    dlPMISelect.m:345) over the same einsum machinery; codebook_mode selects
+    codebookMode 1 or 2 for either family.
+
     Returns (pmi_wideband, pmi_per_subband [n_sb], sinr_per_subband [n_sb, rank]).
     """
-    cb = jnp.asarray(type1_codebook(n1, n2, rank))  # [n_cw, P, rank]
+    if ng > 1:
+        cb = jnp.asarray(
+            type1_multipanel_codebook(ng, n1, n2, rank, codebook_mode=codebook_mode)
+        )
+    else:
+        cb = jnp.asarray(
+            type1_codebook(n1, n2, rank, codebook_mode=codebook_mode)
+        )  # [n_cw, P, rank]
     sinr = precoded_sinr(h, cb, nvar)  # [n_cw, n_re, rank]
     cap = jnp.sum(jnp.log2(1.0 + sinr), axis=-1)  # [n_cw, n_re]
     if subband_of_re is None:
@@ -157,12 +174,13 @@ def cqi_select(
     n1: int,
     n2: int,
     subband_of_re: np.ndarray | None = None,
+    ng: int = 1,
 ):
     """CQI from post-precoding SINR (cqiSelect.m analogue).
 
     Returns dict: rank, pmi_wb, pmi_sb, cqi_wb, cqi_sb [n_sb], sinr_db_sb.
     """
-    pmi_wb, pmi_sb, sinr_sb = dl_pmi_select(h, nvar, rank, n1, n2, subband_of_re)
+    pmi_wb, pmi_sb, sinr_sb = dl_pmi_select(h, nvar, rank, n1, n2, subband_of_re, ng=ng)
     # layer-average effective SINR per subband (EESM-lite: arithmetic in dB domain)
     sinr_db = 10.0 * jnp.log10(jnp.maximum(jnp.mean(sinr_sb, axis=-1), 1e-9))
     cqi_sb = sinr_to_cqi(sinr_db, SINR_TO_CQI_DL)

@@ -68,7 +68,12 @@ from isac_tpu.ops.csirs import (
     csirs_fill_grid,
 )
 from isac_tpu.ops.pathloss import pathloss as pathloss_db
-from isac_tpu.ops.precoding import panel_dims_for_antenna, pusch_codebook, type1_codebook
+from isac_tpu.ops.precoding import (
+    panel_config_for_antenna,
+    pusch_codebook,
+    type1_codebook,
+    type1_multipanel_codebook,
+)
 from isac_tpu.ops.srs import srs_estimate_ports, srs_fill_grid
 from isac_tpu.ops.sensing import (
     derive_radar_params,
@@ -576,12 +581,14 @@ class CellSimulator:
         # routes through the closed-form Hermitian inverse (ops/channel_est).
         _max_rank = min(4, self.n_ue_ants, self.n_tx)
         _sb = self._sb_of_re
-        _n1, _n2 = panel_dims_for_antenna(gnb.antenna)
+        # multi-panel UPAs report against the Type-1 multi-panel codebook
+        # (dlPMISelect.m:345, TS 38.214 §5.2.2.2.2); others single-panel
+        _ng, _n1, _n2 = panel_config_for_antenna(gnb.antenna)
 
         def _csi_all(h):
             rank = ri_select(h, 1.0, max_rank=_max_rank)
             reports = tuple(
-                cqi_select(h, 1.0, r, _n1, _n2, subband_of_re=_sb)
+                cqi_select(h, 1.0, r, _n1, _n2, subband_of_re=_sb, ng=_ng)
                 for r in range(1, _max_rank + 1)
             )
             return rank, reports
@@ -596,7 +603,7 @@ class CellSimulator:
 
         self._csi_all_jit = jax.jit(_csi_all)
         self._srs_all_jit = jax.jit(_srs_all)
-        self.n1, self.n2 = panel_dims_for_antenna(gnb.antenna)
+        self.ng, self.n1, self.n2 = _ng, _n1, _n2
         self.fast_csi = fast_csi
         # PDSCH rate-matches around the transmitted CSI-RS REs on CSI-RS slots.
         # <=4 tx ports: the spec-shaped row-5 resource (setupCSIRS.m, TS 38.211
@@ -1036,7 +1043,10 @@ class CellSimulator:
         first PRB falls in. No report yet -> layer-to-port identity."""
         if not grant.pmi_sb:
             return np.eye(self.n_tx, grant.n_layers, dtype=np.complex64)
-        cb = type1_codebook(self.n1, self.n2, grant.n_layers)
+        if self.ng > 1:
+            cb = type1_multipanel_codebook(self.ng, self.n1, self.n2, grant.n_layers)
+        else:
+            cb = type1_codebook(self.n1, self.n2, grant.n_layers)
         pmi_sb = np.asarray(grant.pmi_sb, np.int64) % cb.shape[0]
         prbs = np.asarray(grant.prb_set, np.int64)
         first_prb = prbs[0::2]  # canonical PRG anchors

@@ -256,3 +256,122 @@ def test_overlap_add_and_resample():
     t2 = np.arange(128) / 128.0
     np.testing.assert_allclose(up[4:-4], np.exp(2j * np.pi * 3 * t2)[4:-4],
                                atol=0.05)
+
+
+def test_type1_multipanel_codebook_structure():
+    """Multi-panel codebook (TS 38.214 §5.2.2.2.2 / dlPMISelect.m:1351-1773):
+    valid-config gating, port counts, unit Frobenius norm, orthonormal columns
+    for orthogonal-beam pairs, and the per-panel block phase structure."""
+    from isac_tpu.ops.precoding import (
+        MULTI_PANEL_CONFIGS,
+        type1_multipanel_codebook,
+    )
+
+    with pytest.raises(ValueError):
+        type1_multipanel_codebook(3, 2, 1, 1)  # not a T5.2.2.2.2-1 config
+    with pytest.raises(ValueError):
+        type1_multipanel_codebook(4, 2, 1, 1, codebook_mode=2)  # mode2 is Ng=2 only
+
+    for ng, n1, n2 in sorted(MULTI_PANEL_CONFIGS)[:4]:
+        for rank in (1, 2, 4):
+            cb = type1_multipanel_codebook(ng, n1, n2, rank)
+            p = 2 * ng * n1 * n2
+            assert cb.shape[1:] == (p, rank)
+            fro = np.linalg.norm(cb, axis=(1, 2))
+            np.testing.assert_allclose(fro, 1.0, atol=1e-5)
+
+    # (2,2,1) rank-1: block structure [v; phi_n v; phi_p v; phi_n phi_p v]
+    cb = type1_multipanel_codebook(2, 2, 1, 1)
+    assert cb.shape == (128, 8, 1)
+    w = cb[:, :, 0] * np.sqrt(8)
+    blocks = w.reshape(-1, 4, 2)  # [cw, block, element]
+    # panel-2 pol-1 block = phi_p * panel-1 pol-1 block, |phi_p| = 1
+    ratio = blocks[:, 2, :] / blocks[:, 0, :]
+    np.testing.assert_allclose(np.abs(ratio), 1.0, atol=1e-5)
+    np.testing.assert_allclose(ratio[:, 0], ratio[:, 1], atol=1e-5)
+    # phi_n phi_p consistency: block3/block0 == (block1/block0)*(block2/block0)
+    r1 = blocks[:, 1, 0] / blocks[:, 0, 0]
+    r2 = blocks[:, 2, 0] / blocks[:, 0, 0]
+    r3 = blocks[:, 3, 0] / blocks[:, 0, 0]
+    np.testing.assert_allclose(r3, r1 * r2, atol=1e-5)
+
+    # rank-2 columns from orthogonal beam pairs are orthonormal
+    cb2 = type1_multipanel_codebook(2, 4, 1, 2)
+    gram = np.einsum("cpk,cpl->ckl", np.conj(cb2), cb2)
+    # beam-offset i13=0 pairs the SAME beam (columns differ only in pol sign);
+    # those are orthogonal too because the pol co-phase flips sign
+    np.testing.assert_allclose(gram[:, 0, 1], 0.0, atol=1e-5)
+
+    # codebookMode 2 (Ng=2): independent panel-2 per-pol phases -> larger table
+    cbm2 = type1_multipanel_codebook(2, 2, 1, 1, codebook_mode=2)
+    assert cbm2.shape[0] == 2048  # 8 beams x 4 n0 x 2 n1 x 2 n2 x 4 p1 x 4 p2
+
+
+def test_multipanel_pmi_select_recovers_matched_precoder():
+    """A channel built FROM a multi-panel codeword must select (a codeword
+    equivalent to) it, and mode-1 ng=2 must beat the single-panel codebook
+    folded over the same 8 ports on a panel-phase-offset channel."""
+    from isac_tpu.ops.csi import dl_pmi_select
+    from isac_tpu.ops.precoding import type1_multipanel_codebook
+
+    ng, n1, n2, rank = 2, 2, 1, 1
+    cb = type1_multipanel_codebook(ng, n1, n2, rank)  # [128, 8, 1]
+    target = 37
+    rng = np.random.default_rng(11)
+    n_re, n_rx = 24, 2
+    # rx mixes the target codeword direction: h[re] = g[re] @ w^H
+    g = (rng.standard_normal((n_re, n_rx, 1)) + 1j * rng.standard_normal(
+        (n_re, n_rx, 1))).astype(np.complex64)
+    h = jnp.asarray(g @ np.conj(cb[target]).transpose(1, 0)[None])
+    pmi_wb, _, sinr = dl_pmi_select(h, 1e-3, rank, n1, n2, ng=ng)
+    got = np.asarray(cb[int(pmi_wb)][:, 0])
+    want = np.asarray(cb[target][:, 0])
+    # equivalent up to a global phase (several indices give the same w)
+    corr = np.abs(np.vdot(want, got)) / (np.linalg.norm(want) * np.linalg.norm(got))
+    assert corr > 0.999
+
+
+def test_panel_config_for_antenna_multipanel():
+    from isac_tpu.config.params import UPA
+    from isac_tpu.ops.precoding import panel_config_for_antenna
+
+    # 2 horizontal panels of 2x1 cross-pol -> (2, 2, 1), 8 ports
+    upa = UPA(n_v=1, n_h=2, n_pv=1, n_ph=2, polarizations=2)
+    assert panel_config_for_antenna(upa) == (2, 2, 1)
+    # single panel falls back to the single-panel dims
+    upa1 = UPA(n_v=2, n_h=2, n_pv=1, n_ph=1, polarizations=2)
+    assert panel_config_for_antenna(upa1) == (1, 2, 2)
+
+
+def test_type1_singlepanel_mode2_codebook():
+    """Single-panel codebookMode 2 (TS 38.214 T5.2.2.2.1-5/6,
+    dlPMISelect.m:912-945/:1039-1082): index-space sizes, unit norm, and
+    family consistency (every mode-2 rank-1 codeword is a beam/co-phase
+    combination from the mode-1 family)."""
+    from isac_tpu.ops.csi import dl_pmi_select
+    from isac_tpu.ops.precoding import type1_codebook
+
+    # rank 1, (N1,N2)=(4,1): 16 i2 x (N1*O1/2) i11 = 128 entries
+    m2 = type1_codebook(4, 1, 1, codebook_mode=2)
+    assert m2.shape == (128, 8, 1)
+    np.testing.assert_allclose(np.linalg.norm(m2, axis=(1, 2)), 1.0, atol=1e-5)
+    m1 = type1_codebook(4, 1, 1, codebook_mode=1)
+    a = m2.reshape(m2.shape[0], -1)
+    b = m1.reshape(m1.shape[0], -1)
+    dist = np.abs(a[:, None, :] - b[None, :, :]).max(-1).min(-1)
+    assert dist.max() < 1e-5  # subset of the mode-1 family
+    # rank 2, (2,1): 8 i2 x 2 i13 x (N1*O1/2) i11 = 64 entries, orthogonal cols
+    m2r2 = type1_codebook(2, 1, 2, codebook_mode=2)
+    assert m2r2.shape == (64, 4, 2)
+    gram = np.einsum("cpk,cpl->ckl", np.conj(m2r2), m2r2)
+    np.testing.assert_allclose(gram[:, 0, 1], 0.0, atol=1e-5)
+    # ranks 3+ are mode-independent (spec defines mode 2 for ranks 1-2)
+    assert np.allclose(
+        type1_codebook(4, 1, 3, codebook_mode=2), type1_codebook(4, 1, 3)
+    )
+    # the search accepts the mode-2 table
+    rng = np.random.default_rng(3)
+    h = (rng.standard_normal((16, 2, 8)) + 1j * rng.standard_normal(
+        (16, 2, 8))).astype(np.complex64)
+    pmi_wb, _, _ = dl_pmi_select(jnp.asarray(h), 0.01, 1, 4, 1, codebook_mode=2)
+    assert 0 <= int(pmi_wb) < 128
